@@ -1,0 +1,133 @@
+"""CGGI (GINX) blind rotation (reference: rgsw-acc-cggi.cpp).
+
+TPU re-design:
+  * the bootstrapping key is ONE int32 array [n, 2, dG2, 2, N] in EVAL form
+    (secret-branch axis for the ternary-MUX double key ek00/ek01,
+    rgsw-acc-cggi.cpp:40-63) instead of n*2 RingGSWEvalKey objects
+  * EvalAcc is a lax.scan over the n rotation steps; within a step the
+    external product is a [dG2] x [dG2, 2, N] modular contraction plus a
+    monomial (X^c - 1) pointwise multiply — all batched over a leading
+    ciphertext-batch axis
+  * monomials come from the slot-exponent gather in ops.poly, replacing the
+    reference's precomputed 2N-entry X^m-1 table
+    (rgsw-cryptoparameters.cpp:94-110)
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.decompose import signed_digit_decompose_pair
+from ..ops.modmath import I32, I64, mod_add
+from ..ops.ntt import NTTTables, ntt_fwd, ntt_inv
+from ..ops.poly import monomial_minus_one_eval
+from ..params import RGSWParams
+from ..rng import Sampler
+
+
+class CGGIKey(NamedTuple):
+    """BSkey: [n, 2, dG2, 2, N] int32 EVAL. Axis 1: ek00 (s==1) / ek01
+    (s==-1); axis 3: (a, b) components of each RGSW row."""
+
+    key: jnp.ndarray
+
+
+def key_gen_acc(
+    sampler: Sampler,
+    params: RGSWParams,
+    tables: NTTTables,
+    sk_N_eval: np.ndarray,
+    lwe_sk: np.ndarray,
+) -> CGGIKey:
+    """KeyGenAcc + KeyGenCGGI (rgsw-acc-cggi.cpp:40-102), vectorized.
+
+    For each LWE coefficient i and branch t in {0,1}:
+      m = (s_i == 1) if t == 0 else (s_i == -1)
+      row d: (a_d, e_d + a_d * skN) + m * Gpow[(d>>1)+1] added to component
+      (d & 1) at coefficient 0 before the NTT.
+    """
+    n = lwe_sk.shape[0]
+    N, Q = params.N, params.Q
+    dg2 = 2 * (params.digits_g - 1)
+    q = params.q
+
+    gpow = np.ones(params.digits_g, dtype=np.int64)
+    for i in range(1, params.digits_g):
+        gpow[i] = gpow[i - 1] * params.base_g % Q
+
+    A = sampler.uniform(Q, (n, 2, dg2, N))
+    E = sampler.discrete_gaussian(params.std, (n, 2, dg2, N), q=Q)
+
+    s = np.asarray(lwe_sk, np.int64)
+    msel = np.stack([s == 1, s == q - 1], axis=1).astype(np.int64)  # [n, 2]
+
+    # message add: m * Gpow[(d>>1)+1] to coeff 0 of component (d&1)
+    d_idx = np.arange(dg2)
+    gvals = gpow[(d_idx >> 1) + 1]                                   # [dg2]
+    addA = np.where((d_idx & 1) == 0, gvals, 0)[None, None, :]       # -> A
+    addE = np.where((d_idx & 1) == 1, gvals, 0)[None, None, :]       # -> E
+    A[:, :, :, 0] = (A[:, :, :, 0] + msel[:, :, None] * addA) % Q
+    E[:, :, :, 0] = (E[:, :, :, 0] + msel[:, :, None] * addE) % Q
+
+    A_eval = ntt_fwd(tables, jnp.asarray(A, I32))
+    E_eval = ntt_fwd(tables, jnp.asarray(E, I32))
+    sk_eval = jnp.asarray(sk_N_eval, I32)
+    B_eval = mod_add(
+        E_eval, ((A_eval.astype(I64) * sk_eval.astype(I64)) % Q).astype(I32), Q
+    )
+    return CGGIKey(jnp.stack([A_eval, B_eval], axis=3))
+
+
+@partial(jax.jit, static_argnames=("tables", "params"))
+def eval_acc(
+    tables: NTTTables, params: RGSWParams, key: CGGIKey, acc, a
+) -> jnp.ndarray:
+    """Blind rotation (EvalAcc + AddToAccCGGI, rgsw-acc-cggi.cpp:60-152).
+
+    acc: [..., 2, N] EVAL; a: [..., n] int32 mod q. Scan over the n
+    (sequential) steps; batch dims ride along.
+    """
+    Q, N, q = params.Q, params.N, params.q
+    dg = params.digits_g - 1
+    dg2 = 2 * dg
+    m_by_mod = 2 * N // q
+
+    lead = a.shape[:-1]
+    n = a.shape[-1]
+    acc = acc.reshape(-1, 2, N)
+    a2 = a.reshape(-1, n)
+    bsz = acc.shape[0]
+
+    # index c_i = ((q - a_i) mod q) * 2N/q in [0, 2N); X^{2N} == 1 so the
+    # reference's ==2N edge case folds into mod 2N
+    c_pos = (((q - a2) % q).astype(I64) * m_by_mod) % (2 * N)   # [B, n]
+    c_neg = (2 * N - c_pos) % (2 * N)
+
+    def step(acc, xs):
+        ek, cp, cn = xs            # ek: [2, dg2, 2, N]; cp/cn: [B]
+        ct0 = ntt_inv(tables, acc)                         # [B, 2, N] coeff
+        dct = signed_digit_decompose_pair(
+            ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg
+        )                                                   # [dg2, B, N]
+        dct = ntt_fwd(tables, dct)
+        dct = jnp.moveaxis(dct, 0, 1)                       # [B, dg2, N]
+
+        # tmp[t, c] = sum_d dct[d] * ek[t, d, c]   (exact: dg2*Q^2 < 2**63)
+        prod = dct[:, None, :, None, :].astype(I64) * ek[None, :, :, :, :].astype(I64)
+        tmp = (prod.sum(axis=2) % Q).astype(I32)            # [B, 2, 2, N]
+
+        mon_p = monomial_minus_one_eval(tables, cp)         # [B, N]
+        mon_n = monomial_minus_one_eval(tables, cn)
+        upd = (
+            tmp[:, 0].astype(I64) * mon_p[:, None, :].astype(I64)
+            + tmp[:, 1].astype(I64) * mon_n[:, None, :].astype(I64)
+        ) % Q
+        acc = mod_add(acc, upd.astype(I32), Q)
+        return acc, None
+
+    xs = (key.key, c_pos.T, c_neg.T)
+    acc, _ = jax.lax.scan(step, acc, xs)
+    return acc.reshape(*lead, 2, N)

@@ -1,0 +1,70 @@
+"""Approximate signed (balanced) gadget decomposition.
+
+Branchless re-implementation of SignedDigitDecompose (mk-acc.cpp:10-80 /
+rgsw-acc.cpp): lift to the balanced representative, DROP the first base-B
+digit (approximate decomposition), then emit `digits` balanced digits,
+each mapped back to [0, Q).
+
+Recomposition identity (used by every external product):
+    sum_d out[d] * B^(d+1)  ==  input - (dropped low part)   (mod Q)
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .modmath import I32, I64
+
+
+@partial(jax.jit, static_argnames=("q", "base", "digits"))
+def signed_digit_decompose(a, q: int, base: int, digits: int):
+    """a: int32 [..., N] in [0, q) -> int32 [digits, ..., N] in [0, q).
+
+    `digits` = digitsG - 1 (the reference always decomposes into
+    GetDigitsG()-1 digits, dropping the lowest).
+    """
+    half_base = base // 2
+    mask = base - 1
+    halfq = q >> 1
+
+    d0 = a.astype(I64)
+    d0 = jnp.where(d0 >= halfq, d0 - q, d0)  # t < QHalf ? t : t - Q
+
+    gbits = base.bit_length() - 1
+
+    def extract(d):
+        r = ((d + half_base) & mask) - half_base  # signed low-gbits
+        return r, (d - r) >> gbits
+
+    r, d0 = extract(d0)  # dropped digit
+    outs = []
+    for _ in range(digits):
+        r, d0 = extract(d0)
+        outs.append(jnp.where(r < 0, r + q, r).astype(I32))
+    return jnp.stack(outs, axis=0)
+
+
+def signed_digit_decompose_pair(a0, a1, q: int, base: int, digits: int):
+    """Pair variant (RLWE ciphertext): returns [2*digits, ..., N] with the
+    reference's interleaving — even rows decompose a0, odd rows a1
+    (rgsw-acc.cpp:37-49)."""
+    d0 = signed_digit_decompose(a0, q, base, digits)
+    d1 = signed_digit_decompose(a1, q, base, digits)
+    out = jnp.stack([d0, d1], axis=1)  # [digits, 2, ...]
+    return out.reshape((2 * digits,) + d0.shape[1:])
+
+
+def base_digits_unsigned(a, base: int, digits: int):
+    """Plain unsigned base-B digits, LSB first: [digits, ...] int32.
+
+    Used by LWE/MNTRU/MKLWE key switching (lwe-pke.cpp:389-401,
+    mntru-pke.cpp:782-791). The 'balanced lift at QHalf' does NOT apply
+    here — the reference decomposes the raw value in [0, qKS).
+    """
+    d = a.astype(I64)
+    outs = []
+    for _ in range(digits):
+        outs.append((d % base).astype(I32))
+        d = d // base
+    return jnp.stack(outs, axis=0)

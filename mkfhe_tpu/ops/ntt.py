@@ -1,0 +1,267 @@
+"""Negacyclic NTT/INTT over Z_Q[X]/(X^N + 1).
+
+TPU-native re-design of the reference's ChineseRemainderTransformFTT
+(transformnat-impl.h:124-400): the psi-twisted Cooley-Tukey forward /
+Gentleman-Sande inverse butterflies, fully vectorized over a leading batch
+dimension. Each of the log2(N) stages is a reshape + one modular multiply +
+add/sub over the whole [..., N] array — ideal VPU shape, and trivially
+batched: callers stack as many polynomials as possible in leading dims.
+
+Representation:
+  * COEFF:  a[..., j] = coefficient of X^j, int32 in [0, Q)
+  * EVAL:   bit-reversed-order evaluations at odd powers of psi (the
+    2N-th primitive root), exactly like the reference's EVALUATION format,
+    so pointwise multiply in EVAL == negacyclic convolution in COEFF.
+
+Forward: natural-order input -> bit-reversed output (CT butterflies with
+psi powers folded in). Inverse: bit-reversed input -> natural output
+(GS butterflies), with N^-1 folded into the last stage's twiddles.
+
+Tables are small (N int32 per direction) and precomputed host-side in
+`NTTTables`, mirroring transformnat PreCompute (transformnat.h:331).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .modmath import I32, I64, mod_add, mod_sub
+
+
+# ---------------------------------------------------------------- host-side
+
+def is_prime(n: int) -> bool:
+    if n < 2:
+        return False
+    for p in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        if n % p == 0:
+            return n == p
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d //= 2
+        s += 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def first_prime(bits: int, m: int) -> int:
+    """Smallest prime >= 2**bits with p == 1 (mod m) (nbtheory FirstPrime)."""
+    lo = 1 << bits
+    r = lo % m
+    p = lo + ((1 - r) % m)
+    while not is_prime(p):
+        p += m
+    return p
+
+
+def previous_prime(p: int, m: int) -> int:
+    """Largest prime < p with p == 1 (mod m) (nbtheory PreviousPrime)."""
+    p -= m
+    while not is_prime(p):
+        p -= m
+    return p
+
+
+def _primitive_root(q: int) -> int:
+    """Smallest generator of Z_q^* for prime q."""
+    fac = []
+    n = q - 1
+    d = 2
+    while d * d <= n:
+        if n % d == 0:
+            fac.append(d)
+            while n % d == 0:
+                n //= d
+        d += 1
+    if n > 1:
+        fac.append(n)
+    for g in range(2, q):
+        if all(pow(g, (q - 1) // f, q) != 1 for f in fac):
+            return g
+    raise ValueError("no generator")
+
+
+def root_of_unity(order: int, q: int) -> int:
+    """A primitive `order`-th root of unity mod prime q (q == 1 mod order)."""
+    assert (q - 1) % order == 0
+    g = _primitive_root(q)
+    return pow(g, (q - 1) // order, q)
+
+
+def _bit_reverse_indices(n: int) -> np.ndarray:
+    bits = n.bit_length() - 1
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros_like(idx)
+    for b in range(bits):
+        out |= ((idx >> b) & 1) << (bits - 1 - b)
+    return out
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("psi_brv", "ipsi_brv", "brv", "psi_pows", "slot_exp",
+                 "exp_to_slot"),
+    meta_fields=("N", "Q", "n_inv"),
+)
+@dataclass(frozen=True)
+class NTTTables:
+    """Precomputed twiddles for one (N, Q) pair.
+
+    Registered as a pytree with (N, Q, n_inv) as static metadata so a table
+    bundle can cross jit boundaries while moduli stay python ints.
+    """
+
+    N: int                 # static
+    Q: int                 # static
+    n_inv: int             # N^-1 mod Q (static python int)
+    psi_brv: jnp.ndarray   # [N] psi powers in bit-reversed order (CT fwd)
+    ipsi_brv: jnp.ndarray  # [N] psi^-1 powers in bit-reversed order (GS inv)
+    brv: jnp.ndarray       # [N] bit-reversal permutation
+    psi_pows: jnp.ndarray  # [2N] psi^i — monomial evaluation helper
+    slot_exp: jnp.ndarray  # [N] e_j: EVAL slot j holds p(psi^{e_j})
+    exp_to_slot: jnp.ndarray  # [2N] inverse map (odd exponents -> slot)
+
+
+def make_ntt_tables(N: int, Q: int) -> NTTTables:
+    psi = root_of_unity(2 * N, Q)
+    ipsi = pow(psi, Q - 2, Q)
+    pows = np.ones(2 * N, dtype=np.int64)
+    ipows = np.ones(N, dtype=np.int64)
+    for i in range(1, 2 * N):
+        pows[i] = pows[i - 1] * psi % Q
+    for i in range(1, N):
+        ipows[i] = ipows[i - 1] * ipsi % Q
+    brv = _bit_reverse_indices(N)
+    psi_brv = pows[:N][brv]
+    ipsi_brv = ipows[brv]
+    n_inv = pow(N, Q - 2, Q)
+
+    # Empirically recover the slot->evaluation-point map: the EVAL image of
+    # the monomial X has slot values psi^{e_j}; discrete-log against the
+    # power table gives e_j. This makes monomial multiply and automorphism
+    # pure gathers, independent of the butterfly ordering above.
+    one_hot_x = np.zeros(N, dtype=np.int64)
+    one_hot_x[1] = 1
+    img = np.asarray(
+        _ntt_fwd(jnp.asarray(one_hot_x, I32), jnp.asarray(psi_brv, I32), N, Q)
+    )
+    dlog = {int(pows[i]): i for i in range(2 * N)}
+    slot_exp = np.array([dlog[int(v)] for v in img], dtype=np.int64)
+    exp_to_slot = np.zeros(2 * N, dtype=np.int64)
+    exp_to_slot[slot_exp] = np.arange(N)
+
+    return NTTTables(
+        N=N,
+        Q=Q,
+        psi_brv=jnp.asarray(psi_brv, I32),
+        ipsi_brv=jnp.asarray(ipsi_brv, I32),
+        n_inv=n_inv,
+        brv=jnp.asarray(brv, jnp.int32),
+        psi_pows=jnp.asarray(pows, I32),
+        slot_exp=jnp.asarray(slot_exp, jnp.int32),
+        exp_to_slot=jnp.asarray(exp_to_slot, jnp.int32),
+    )
+
+
+# ------------------------------------------------------------- device-side
+
+def _mm(a, b, q):
+    return ((a.astype(I64) * b.astype(I64)) % q).astype(I32)
+
+
+@partial(jax.jit, static_argnames=("N", "Q"))
+def _ntt_fwd(a, psi_brv, N: int, Q: int):
+    """CT forward butterflies; natural coeff input, bit-reversed EVAL out.
+
+    Mirrors the loop structure of NumberTheoreticTransformNat::
+    ForwardTransformToBitReverseInPlace (transformnat-impl.h:197-238) with
+    each (m, t) stage vectorized across the full array.
+    """
+    lead = a.shape[:-1]
+    x = a.reshape(-1, N)
+    t = N
+    m = 1
+    while m < N:
+        t //= 2
+        x = x.reshape(-1, m, 2, t)
+        w = psi_brv[m: 2 * m].reshape(1, m, 1)  # twiddle per block
+        u = x[:, :, 0, :]
+        v = _mm(x[:, :, 1, :], w, Q)
+        x = jnp.stack([mod_add(u, v, Q), mod_sub(u, v, Q)], axis=2)
+        m *= 2
+    return x.reshape(*lead, N)
+
+
+@partial(jax.jit, static_argnames=("N", "Q", "n_inv"))
+def _ntt_inv(a, ipsi_brv, N: int, Q: int, n_inv: int):
+    """GS inverse butterflies; bit-reversed EVAL input, natural coeff out."""
+    lead = a.shape[:-1]
+    x = a.reshape(-1, N)
+    t = 1
+    m = N
+    while m > 1:
+        h = m // 2
+        x = x.reshape(-1, h, 2, t)
+        w = ipsi_brv[h: 2 * h].reshape(1, h, 1)
+        u = x[:, :, 0, :]
+        v = x[:, :, 1, :]
+        x = jnp.stack(
+            [mod_add(u, v, Q), _mm(mod_sub(u, v, Q), w, Q)], axis=2
+        )
+        t *= 2
+        m = h
+    x = x.reshape(-1, N)
+    x = ((x.astype(I64) * n_inv) % Q).astype(I32)
+    return x.reshape(*lead, N)
+
+
+def ntt_fwd(tables: NTTTables, a):
+    """COEFF -> EVAL (bit-reversed), any leading batch dims."""
+    return _ntt_fwd(a, tables.psi_brv, tables.N, tables.Q)
+
+
+def ntt_inv(tables: NTTTables, a):
+    """EVAL (bit-reversed) -> COEFF, any leading batch dims."""
+    return _ntt_inv(a, tables.ipsi_brv, tables.N, tables.Q, tables.n_inv)
+
+
+def negacyclic_mul_coeff(tables: NTTTables, a, b):
+    """Full negacyclic product of COEFF-format inputs (reference check)."""
+    fa = ntt_fwd(tables, a)
+    fb = ntt_fwd(tables, b)
+    return ntt_inv(tables, _mm(fa, fb, tables.Q))
+
+
+def eval_mul(tables: NTTTables, a, b):
+    """Pointwise product in EVAL format (PolyImpl::Times, poly.h:249-259)."""
+    return _mm(a, b, tables.Q)
+
+
+# reference implementation for tests: O(N^2) exact negacyclic convolution
+def negacyclic_mul_naive(a: np.ndarray, b: np.ndarray, Q: int) -> np.ndarray:
+    """Row-at-a-time schoolbook product, reduced mod Q per row so int64
+    never overflows (products < 2^56, N rows)."""
+    N = a.shape[-1]
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    ext = np.concatenate([b, (-b) % Q])  # X^N == -1 wraparound
+    out = np.zeros(N, dtype=np.int64)
+    for i in range(N):
+        if a[i] == 0:
+            continue
+        # a[i] * X^i * b contributes a[i]*ext[(j - i) mod 2N] at position j
+        shifted = np.roll(ext, i)[:N]
+        out = (out + a[i] * shifted) % Q
+    return out

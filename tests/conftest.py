@@ -1,0 +1,12 @@
+"""Test config: run the suite on CPU with 8 virtual devices so sharding
+tests exercise real multi-device code paths without TPU hardware (the TPU
+analogue of a fake backend; see SURVEY.md §4)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
