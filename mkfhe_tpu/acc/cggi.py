@@ -41,6 +41,7 @@ def key_gen_acc(
     tables: NTTTables,
     sk_N_eval: np.ndarray,
     lwe_sk: np.ndarray,
+    sk_mod: int,
 ) -> CGGIKey:
     """KeyGenAcc + KeyGenCGGI (rgsw-acc-cggi.cpp:40-102), vectorized.
 
@@ -52,7 +53,6 @@ def key_gen_acc(
     n = lwe_sk.shape[0]
     N, Q = params.N, params.Q
     dg2 = 2 * (params.digits_g - 1)
-    q = params.q
 
     gpow = np.ones(params.digits_g, dtype=np.int64)
     for i in range(1, params.digits_g):
@@ -62,26 +62,31 @@ def key_gen_acc(
     E = sampler.discrete_gaussian(params.std, (n, 2, dg2, N), q=Q)
 
     s = np.asarray(lwe_sk, np.int64)
-    msel = np.stack([s == 1, s == q - 1], axis=1).astype(np.int64)  # [n, 2]
+    msel = np.stack([s == 1, s == sk_mod - 1], axis=1).astype(np.int64)  # [n, 2]
 
-    # message add: m * Gpow[(d>>1)+1] to coeff 0 of component (d&1)
+    # message add: m * Gpow[(d>>1)+1] to coeff 0 of component (d&1),
+    # applied in COEFF format (KeyGenCGGI, rgsw-acc-cggi.cpp:80-100). The
+    # skNTT product uses A *without* the gadget add (tempA is copied before
+    # the add in the reference), so keep A_msg separate from A.
     d_idx = np.arange(dg2)
     gvals = gpow[(d_idx >> 1) + 1]                                   # [dg2]
     addA = np.where((d_idx & 1) == 0, gvals, 0)[None, None, :]       # -> A
     addE = np.where((d_idx & 1) == 1, gvals, 0)[None, None, :]       # -> E
-    A[:, :, :, 0] = (A[:, :, :, 0] + msel[:, :, None] * addA) % Q
+    A_msg = A.copy()
+    A_msg[:, :, :, 0] = (A[:, :, :, 0] + msel[:, :, None] * addA) % Q
     E[:, :, :, 0] = (E[:, :, :, 0] + msel[:, :, None] * addE) % Q
 
     A_eval = ntt_fwd(tables, jnp.asarray(A, I32))
+    A_msg_eval = ntt_fwd(tables, jnp.asarray(A_msg, I32))
     E_eval = ntt_fwd(tables, jnp.asarray(E, I32))
     sk_eval = jnp.asarray(sk_N_eval, I32)
     B_eval = mod_add(
         E_eval, ((A_eval.astype(I64) * sk_eval.astype(I64)) % Q).astype(I32), Q
     )
-    return CGGIKey(jnp.stack([A_eval, B_eval], axis=3))
+    return CGGIKey(jnp.stack([A_msg_eval, B_eval], axis=3))
 
 
-@partial(jax.jit, static_argnames=("tables", "params"))
+@partial(jax.jit, static_argnames=("params",))
 def eval_acc(
     tables: NTTTables, params: RGSWParams, key: CGGIKey, acc, a
 ) -> jnp.ndarray:

@@ -43,10 +43,11 @@ class LWESwitchingKey(NamedTuple):
 # ------------------------------------------------------------------- keygen
 
 def key_gen(sampler: Sampler, params: LWEParams) -> np.ndarray:
-    """Secret key over Z_q, length n (KeyGen, lwe-pke.cpp:49-59)."""
+    """Secret key over Z_qKS, length n (KeyGen, lwe-pke.cpp:49-59; the
+    context calls it with qKS — binfhecontext.cpp:218-225)."""
     if params.key_dist == SecretKeyDist.GAUSSIAN:
-        return sampler.discrete_gaussian(3.19, params.n, q=params.q)
-    return sampler.ternary(params.n, q=params.q)
+        return sampler.discrete_gaussian(3.19, params.n, q=params.q_ks)
+    return sampler.ternary(params.n, q=params.q_ks)
 
 
 def key_gen_N(sampler: Sampler, params: LWEParams) -> np.ndarray:
@@ -69,7 +70,7 @@ def encrypt(
     mod = params.q if mod is None else mod
     m = np.asarray(m, np.int64)
     shape = m.shape
-    s = _switch_modulus_np(sk, params.q, mod)
+    s = _switch_modulus_np(sk, params.q_ks, mod)
     a = sampler.uniform(mod, shape + (params.n,))
     e = sampler.discrete_gaussian(params.std, shape, q=mod)
     b = ((m % p) * (mod // p) + e + a @ s) % mod
@@ -87,7 +88,7 @@ def decrypt(params: LWEParams, sk: np.ndarray, ct: LWECiphertext, p: int = 4):
     mod = params.q
     a = np.asarray(ct.a, np.int64)
     b = np.asarray(ct.b, np.int64)
-    s = _switch_modulus_np(sk, params.q, mod)
+    s = _switch_modulus_np(sk, params.q_ks, mod)
     r = (b - a @ s) % mod
     r = (r + mod // (p * 2)) % mod
     return (p * r) // mod
@@ -154,7 +155,7 @@ def key_switch_gen(
     """
     n, N = params.n, params.N
     qks, bks, d = params.q_ks, params.base_ks, params.digits_ks
-    sv = _switch_modulus_np(sk, params.q, qks)
+    sv = _switch_modulus_np(sk, params.q_ks, qks)
     svN = _switch_modulus_np(skN, params.Q, qks)
     digits = (bks ** np.arange(d, dtype=np.int64)) % qks
 
