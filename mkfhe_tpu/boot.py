@@ -12,14 +12,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .acc import cggi
+from .acc import cggi, xzw
 from .constants import BINGATE, BINFHE_METHOD, KEYGEN_MODE
+from .keygen import sample_invertible_ring_secret
 from .ops.modmath import I32, I64, mod_add, mod_sub
 from .ops.ntt import NTTTables, ntt_fwd, ntt_inv
 from .ops.poly import transpose_eval
 from .params import BinFHEParams
 from .rng import Sampler
-from .schemes import lwe
+from .schemes import lwe, mklwe, mntru
 
 
 class RingGSWBTKey(NamedTuple):
@@ -215,3 +216,227 @@ def bootstrap(tables, params, ek, ct: lwe.LWECiphertext, p: int = 4):
 
 def eval_not(params: BinFHEParams, ct: lwe.LWECiphertext) -> lwe.LWECiphertext:
     return lwe.eval_not(ct, params.lwe.q)
+
+
+# ===================================================================== MK ==
+
+class UniEncBTKey(NamedTuple):
+    """UniEncBTKey (binfhe-base-scheme.h:65-83): UniEnc accumulator key
+    (with Pkey folded in), the MNTRU/MKLWE switching key, and the ring
+    secrets f (EVAL) kept for diagnostics/serialization."""
+
+    bs: xzw.UniEncKey
+    ks: NamedTuple                # MNTRUSwitchingKey or MKLWESwitchingKey
+    f_eval: jnp.ndarray           # [k, N]
+    f_coeff: jnp.ndarray          # [k, N]
+
+
+def make_crs(sampler: Sampler, params: BinFHEParams, tables) -> np.ndarray:
+    """CRS: digitsG-1 Gaussian (sigma_e) polys in EVAL
+    (mk-cryptoparameters.h:173-178)."""
+    up = params.unienc
+    dg = up.digits_g - 1
+    coeff = sampler.discrete_gaussian(up.sigma_e, (dg, up.N), q=up.Q)
+    return np.asarray(ntt_fwd(tables, jnp.asarray(coeff, I32)), np.int64)
+
+
+def _mk_ring_secrets(sampler, params: BinFHEParams, tables, gaussian: bool):
+    """k invertible ring secrets f_u with NTT-domain Fermat inversion
+    (replaces Get_invertible_NativeVector's NTL InvMod,
+    binfhe-base-scheme.cpp:105-195)."""
+    from .constants import SecretKeyDist
+
+    k = params.unienc.k
+    dist = SecretKeyDist.GAUSSIAN if gaussian else SecretKeyDist.UNIFORM_TERNARY
+    fs, finvs, fevals, finv_evals = [], [], [], []
+    for _ in range(k):
+        f, f_inv, f_eval, inv_eval = sample_invertible_ring_secret(
+            sampler, tables, dist, std=0.5)
+        fs.append(f)
+        fevals.append(f_eval)
+        finv_evals.append(inv_eval)
+    return np.stack(fs), np.stack(fevals), np.stack(finv_evals)
+
+
+def _mk_pkey(sampler, params: BinFHEParams, tables, crs_eval, f_evals):
+    """Pkey[u][i] = e - CRS_i * f_u (binfhe-base-scheme.cpp:250-269)."""
+    up = params.unienc
+    dg = up.digits_g - 1
+    e = sampler.discrete_gaussian(up.sigma_e, (up.k, dg, up.N), q=up.Q)
+    e_eval = np.asarray(ntt_fwd(tables, jnp.asarray(e, I32)), np.int64)
+    pk = (e_eval - crs_eval[None] * f_evals[:, None, :]) % up.Q
+    return pk
+
+
+def mk_bt_key_gen_mntru(
+    sampler: Sampler,
+    params: BinFHEParams,
+    tables,
+    sk: mntru.MNTRUPrivateKey,
+    crs_eval: np.ndarray,
+) -> UniEncBTKey:
+    """MKKeyGen for MNTRU (binfhe-base-scheme.cpp:198-276). Ring secrets
+    are GAUSSIAN(0.5) regardless of the LWE-layer key dist (:218)."""
+    f_coeff, f_evals, finv_evals = _mk_ring_secrets(
+        sampler, params, tables, gaussian=True)
+    ks = mntru.key_switch_gen2(sampler, params.mntru, sk, f_coeff)
+    pkey = _mk_pkey(sampler, params, tables, crs_eval, f_evals)
+    binary = params.method == BINFHE_METHOD.MKNTRU_B
+    bs = xzw.key_gen_acc(
+        sampler, params.unienc, tables, finv_evals,
+        sk.F_col0, params.mntru.q_ks, crs_eval, pkey, binary=binary)
+    return UniEncBTKey(
+        bs=bs, ks=ks,
+        f_eval=jnp.asarray(f_evals, I32),
+        f_coeff=jnp.asarray(f_coeff, I32))
+
+
+def mk_bt_key_gen_mklwe(
+    sampler: Sampler,
+    params: BinFHEParams,
+    tables,
+    sk: np.ndarray,
+    crs_eval: np.ndarray,
+) -> UniEncBTKey:
+    """MKKeyGen for MKLWE (binfhe-base-scheme.cpp:279-338). Ring secrets
+    are UNIFORM_TERNARY (:298); accumulator is XZW_B."""
+    f_coeff, f_evals, finv_evals = _mk_ring_secrets(
+        sampler, params, tables, gaussian=False)
+    ks = mklwe.key_switch_gen(sampler, params.mklwe, sk, f_coeff)
+    pkey = _mk_pkey(sampler, params, tables, crs_eval, f_evals)
+    bs = xzw.key_gen_acc(
+        sampler, params.unienc, tables, finv_evals,
+        sk, params.mklwe.q_ks, crs_eval, pkey, binary=True)
+    return UniEncBTKey(
+        bs=bs, ks=ks,
+        f_eval=jnp.asarray(f_evals, I32),
+        f_coeff=jnp.asarray(f_coeff, I32))
+
+
+def ct_gate_gen(
+    sampler: Sampler, params: BinFHEParams, sk: mntru.MNTRUPrivateKey,
+    gate: BINGATE = BINGATE.NAND,
+) -> mntru.MNTRUCiphertext:
+    """ctNAND: encryption of the 5q/8 gate offset under F^-1
+    (ctGateGen, binfhe-base-scheme.cpp:340-376)."""
+    if gate != BINGATE.NAND:
+        raise NotImplementedError("Support NAND gate only")
+    mp = params.mntru
+    mod, k, n = mp.q, mp.k, mp.n
+    e = sampler.discrete_gaussian(mp.std, (k, n), q=mod)
+    e[0, 0] = (e[0, 0] + 5 * mod // 8) % mod
+    Finv = np.where(sk.F_inv > mp.q_ks // 2,
+                    sk.F_inv.astype(np.int64) - mp.q_ks, sk.F_inv) % mod
+    c = np.einsum("kl,kln->kn", e, Finv) % mod
+    return mntru.MNTRUCiphertext(jnp.asarray(c, I32))
+
+
+def _mk_test_vector_mntru(params: BinFHEParams, shape, p: int = 4):
+    """Rx[j] = j<N/2 ? -(Q/2p+1) : Q/2p+1 (BootstrapGateCore MNTRU,
+    binfhe-base-scheme.cpp:1092-1097) — constant, broadcast to batch."""
+    up = params.unienc
+    Q2p = up.Q // (2 * p) + 1
+    rx = np.where(np.arange(up.N) < up.N // 2, up.Q - Q2p, Q2p)
+    return jnp.broadcast_to(jnp.asarray(rx, I32), shape + (up.N,))
+
+
+def _mk_test_vector_mklwe(params: BinFHEParams, b, p: int = 4):
+    """Rx rotated by b-hat (BootstrapGateCore MKLWE,
+    binfhe-base-scheme.cpp:1022-1043). b: [...] already mod 2N."""
+    up = params.unienc
+    N, Q = up.N, up.Q
+    Q2p = Q // (2 * p) + 1
+    rx = jnp.asarray(np.where(np.arange(N) < N // 2, Q2p, Q - Q2p), I64)
+    j = jnp.arange(N, dtype=I64)
+    idx = b[..., None].astype(I64) + j                 # [..., N]
+    wrap = (idx >= N) & (idx < 2 * N)
+    val = jnp.where(wrap, Q - rx, rx).astype(I32)
+    pos = (idx % N).astype(jnp.int32)
+    m = jnp.zeros(b.shape + (N,), I32)
+    bidx = jnp.arange(int(np.prod(b.shape, dtype=np.int64)) or 1)
+    m2 = m.reshape(-1, N)
+    out = m2.at[bidx[:, None], pos.reshape(-1, N)].set(val.reshape(-1, N))
+    return out.reshape(b.shape + (N,))
+
+
+def _mk_extract(tables, params: BinFHEParams, acc):
+    """Per-user transpose + INTT extraction (binfhe-base-scheme.cpp:498-506).
+    acc: [..., k, N] EVAL -> [..., k, N] COEFF under the original secrets."""
+    return ntt_inv(tables, transpose_eval(tables, acc))
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _mk_gate_mntru_jit(tables, params, ek, ct_nand_c, c1, c2):
+    mp = params.mntru
+    up = params.unienc
+    q = mp.q
+    prep = mod_add(c1, c2, q)
+    ct_temp = mod_sub(ct_nand_c, prep, q)              # [..., k, n]
+
+    # rotation indices: floor(a * 2N / q)  (mk-acc-xzw.cpp:110/125 —
+    # NativeInteger integer division; q does not divide 2N for MK sets)
+    c_idx = (ct_temp.astype(I64) * (2 * up.N)) // q
+
+    m = _mk_test_vector_mntru(params, ct_temp.shape[:-2])
+    m_eval = ntt_fwd(tables, m)
+    acc = jnp.zeros(ct_temp.shape[:-2] + (up.k, up.N), I32)
+    acc = acc.at[..., 0, :].set(m_eval)
+
+    binary = params.method == BINFHE_METHOD.MKNTRU_B
+    acc = xzw.eval_acc(tables, up, ek.bs, acc, c_idx.astype(I32), binary)
+
+    ext = _mk_extract(tables, params, acc)             # [..., k, N]
+    ct_ms = mntru.mod_switch(mntru.MNTRUCiphertext(ext), mp.q_ks, up.Q)
+    return mntru.key_switch2(ct_ms, ek.ks, mp.q_ks, mp.base_ks, mp.digits_ks)
+
+
+def eval_bin_gate_mntru(
+    tables, params: BinFHEParams, gate: BINGATE, ek: UniEncBTKey,
+    ct1: mntru.MNTRUCiphertext, ct2: mntru.MNTRUCiphertext,
+    ct_nand: mntru.MNTRUCiphertext,
+) -> mntru.MNTRUCiphertext:
+    """MNTRU gate eval (EvalBinGate, binfhe-base-scheme.cpp:467-515).
+    Batched over leading dims of ct1/ct2."""
+    if gate != BINGATE.NAND:
+        raise NotImplementedError("MKNTRU path supports NAND (reference parity)")
+    return _mk_gate_mntru_jit(tables, params, ek, ct_nand.c, ct1.c, ct2.c)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _mk_gate_mklwe_jit(tables, params, ek, a1, b1, a2, b2):
+    lp = params.mklwe
+    up = params.unienc
+    q = lp.q
+    ct1 = mklwe.MKLWECiphertext(a1, b1)
+    ct2 = mklwe.MKLWECiphertext(a2, b2)
+    prep = mklwe.eval_add(ct1, ct2, q)
+    zero = mklwe.MKLWECiphertext(
+        jnp.zeros_like(a1), jnp.full(b1.shape, (5 * q) // 8, I32))
+    ct_temp = mklwe.eval_sub(zero, prep, q)
+    ct_ms1 = mklwe.mod_switch(ct_temp, 2 * up.N, q)    # mod 2N
+
+    m = _mk_test_vector_mklwe(params, ct_ms1.b)
+    m_eval = ntt_fwd(tables, m)
+    acc = jnp.zeros(ct_ms1.b.shape + (up.k, up.N), I32)
+    acc = acc.at[..., 0, :].set(m_eval)
+
+    a_neg = mklwe.neg_a(ct_ms1, 2 * up.N).a            # rotation uses -a
+    acc = xzw.eval_acc(tables, up, ek.bs, acc, a_neg, binary=True)
+
+    ext = _mk_extract(tables, params, acc)             # [..., k, N]
+    b_out = jnp.full(ct_ms1.b.shape, (up.Q >> 3) + 1, I32)
+    ct_ext = mklwe.MKLWECiphertext(ext, b_out)
+    ct_ms = mklwe.mod_switch(ct_ext, lp.q_ks, up.Q)
+    return mklwe.key_switch(
+        ct_ms, ek.ks, lp.q_ks, lp.base_ks, lp.digits_ks, lp.n)
+
+
+def eval_bin_gate_mklwe(
+    tables, params: BinFHEParams, gate: BINGATE, ek: UniEncBTKey,
+    ct1: mklwe.MKLWECiphertext, ct2: mklwe.MKLWECiphertext,
+) -> mklwe.MKLWECiphertext:
+    """MKLWE gate eval (EvalBinGate, binfhe-base-scheme.cpp:380-463)."""
+    if gate != BINGATE.NAND:
+        raise NotImplementedError("MKLWE path supports NAND (reference parity)")
+    return _mk_gate_mklwe_jit(
+        tables, params, ek, ct1.a, ct1.b, ct2.a, ct2.b)

@@ -89,6 +89,7 @@ class BINFHE_PARAMSET(enum.Enum):
     # small sets for fast tests (not in reference; same structure as the MK
     # sets but with toy lattice dimensions)
     TOY_MKNTRU = "TOY_MKNTRU"
+    TOY_MKNTRU_4 = "TOY_MKNTRU_4"
     TOY_MKNTRU_LWE = "TOY_MKNTRU_LWE"
     TOY_NTRU = "TOY_NTRU"
 
@@ -159,6 +160,7 @@ PARAM_SETS = {
     BINFHE_PARAMSET.STD100_MKNTRU_LWE_4: ContextParams(16, 27, 4096, 500, 32749, 32749, _STD, 32, 1 << 9, 2, 10, B),
     # test-only toy MK sets: small n/N so CI runs in seconds; NOT secure
     BINFHE_PARAMSET.TOY_MKNTRU:     ContextParams(2, 27, 1024, 64, 45181, 45181, _NTRU2, 32, 1 << 9, 32, 10, T),
+    BINFHE_PARAMSET.TOY_MKNTRU_4:   ContextParams(4, 27, 1024, 64, 45181, 45181, _NTRU2, 32, 1 << 9, 32, 10, T),
     BINFHE_PARAMSET.TOY_MKNTRU_LWE: ContextParams(2, 27, 1024, 64, 32749, 32749, _STD, 32, 1 << 9, 2, 10, B),
     BINFHE_PARAMSET.TOY_NTRU:       ContextParams(1, 21, 1024, 64, 512, 1 << 14, _NTRU, 32, 1 << 7, 32, 10, T),
 }

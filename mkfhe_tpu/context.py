@@ -21,7 +21,7 @@ from .constants import (
 from .ops.modmath import I32
 from .params import BinFHEParams, build_params, get_tables
 from .rng import Sampler
-from .schemes import lwe
+from .schemes import lwe, mklwe, mntru
 
 
 class BinFHEContext:
@@ -33,6 +33,9 @@ class BinFHEContext:
         self.params: BinFHEParams | None = None
         self.tables = None
         self.bt_key: boot.RingGSWBTKey | None = None
+        self.mk_bt_key: boot.UniEncBTKey | None = None
+        self.crs = None
+        self.ct_nand = None
 
     # ------------------------------------------------------------ contexts
     def GenerateBinFHEContext(
@@ -45,6 +48,8 @@ class BinFHEContext:
         self.params = build_params(paramset, method)
         lp = self.params.lwe
         self.tables = get_tables(lp.N, lp.Q)
+        if self.params.unienc is not None:
+            self.crs = boot.make_crs(self.sampler, self.params, self.tables)
         return self
 
     # -------------------------------------------------------------- keygen
@@ -63,15 +68,67 @@ class BinFHEContext:
             self.sampler, self.params, self.tables, sk, keygen_mode)
         return self.bt_key
 
+    # ----------------------------------------------------------- MK keygen
+    def MNTRU_KeyGen(self):
+        """k-user matrix-NTRU secret (binfhecontext.cpp:235-241)."""
+        self.mntru_sk = mntru.key_gen(self.sampler, self.params.mntru)
+        return self.mntru_sk
+
+    def MKLWE_KeyGen(self):
+        """k-user binary MKLWE secret (binfhecontext.cpp:244-249)."""
+        self.mklwe_sk = mklwe.key_gen_binary(self.sampler, self.params.mklwe)
+        return self.mklwe_sk
+
+    def MKBTKeyGen(self, sk=None) -> boot.UniEncBTKey:
+        """Multi-key bootstrapping keys (binfhecontext.cpp:520-570)."""
+        from .constants import BINFHE_METHOD as M
+
+        if self.params.method in (M.MKNTRU, M.MKNTRU_B):
+            sk = self.mntru_sk if sk is None else sk
+            self.mk_bt_key = boot.mk_bt_key_gen_mntru(
+                self.sampler, self.params, self.tables, sk, self.crs)
+        else:
+            sk = self.mklwe_sk if sk is None else sk
+            self.mk_bt_key = boot.mk_bt_key_gen_mklwe(
+                self.sampler, self.params, self.tables, sk, self.crs)
+        return self.mk_bt_key
+
+    def ctGateGen(self, sk, gate: BINGATE = BINGATE.NAND):
+        """Precompute the NAND offset ciphertext (binfhecontext.cpp:573)."""
+        self.ct_nand = boot.ct_gate_gen(self.sampler, self.params, sk, gate)
+        return self.ct_nand
+
     # ------------------------------------------------------------- enc/dec
-    def Encrypt(self, sk: np.ndarray, m, p: int = 4, mod: int | None = None):
+    def Encrypt(self, sk, m, p: int = 4, mod: int | None = None):
+        if isinstance(sk, mntru.MNTRUPrivateKey):
+            return mntru.encrypt(
+                self.sampler, self.params.mntru, sk, m, p, mod)
+        if self.params.mklwe is not None and isinstance(sk, np.ndarray) \
+                and sk.ndim == 2:
+            return mklwe.encrypt(
+                self.sampler, self.params.mklwe, sk, m, p, mod)
         return lwe.encrypt(self.sampler, self.params.lwe, sk, m, p, mod)
 
-    def Decrypt(self, sk: np.ndarray, ct: lwe.LWECiphertext, p: int = 4):
+    def Decrypt(self, sk, ct, p: int = 4):
+        if isinstance(ct, mntru.MNTRUCiphertext):
+            return mntru.decrypt(self.params.mntru, sk, ct, p)
+        if isinstance(ct, mklwe.MKLWECiphertext):
+            return mklwe.decrypt(self.params.mklwe, sk, ct, p)
         return lwe.decrypt(self.params.lwe, sk, ct, p)
 
+    def Decrypt2(self, sk, ct, p: int = 4):
+        """Fresh-encryption decode for MNTRU (mntru-pke.cpp:208-253)."""
+        return mntru.decrypt2(self.params.mntru, sk, ct, p)
+
     # ---------------------------------------------------------------- eval
-    def EvalBinGate(self, gate: BINGATE, ct1, ct2) -> lwe.LWECiphertext:
+    def EvalBinGate(self, gate: BINGATE, ct1, ct2):
+        if isinstance(ct1, mntru.MNTRUCiphertext):
+            return boot.eval_bin_gate_mntru(
+                self.tables, self.params, gate, self.mk_bt_key,
+                ct1, ct2, self.ct_nand)
+        if isinstance(ct1, mklwe.MKLWECiphertext):
+            return boot.eval_bin_gate_mklwe(
+                self.tables, self.params, gate, self.mk_bt_key, ct1, ct2)
         return boot.eval_bin_gate(
             self.tables, self.params, gate, self.bt_key, ct1, ct2)
 
