@@ -1,1 +1,1 @@
-from . import cggi  # noqa: F401
+from . import cggi, xzddf, xzw  # noqa: F401

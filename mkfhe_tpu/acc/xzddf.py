@@ -1,0 +1,160 @@
+"""Single-key vector-NTRU accumulator XZDDF (ia.cr/2023/1564;
+reference: vntru-acc-xzddf.cpp).
+
+TPU re-design:
+  * evk is one int32 array [n+1, dG, N] (EVAL); automorphism keys are
+    [q-1, dG, N] — rotation steps select their key by a traced gather
+  * EvalAcc is a lax.scan over n steps: NTRU external product followed by
+    a keyed automorphism whose exponent t_i = w_i * w_{i+1}^{-1} mod 2N is
+    data-dependent (w_i = (2N/q) a_i + 1); the reference's per-step
+    `ModInverse(w, 2N)` (vntru-acc-xzddf.cpp:63) becomes a branchless
+    Newton inverse mod the power of two 2N
+  * the t == 1 'skip automorphism' branch (:71-73) becomes a lane select
+    so batched ciphertexts with different rotation chains share one trace
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.decompose import signed_digit_decompose
+from ..ops.modmath import I32, I64
+from ..ops.ntt import NTTTables, ntt_fwd
+from ..ops.poly import automorphism_eval
+from ..params import VNTRUParams
+from ..rng import Sampler
+
+
+class XZDDFKey(NamedTuple):
+    evk: jnp.ndarray   # [n+1, dG, N] int32 EVAL  (evk_i = Enc(X^{-s_i}))
+    auto: jnp.ndarray  # [q-1, dG, N] int32 EVAL  (KeyGenAuto)
+
+
+def key_gen_acc(
+    sampler: Sampler,
+    params: VNTRUParams,
+    tables: NTTTables,
+    sk_eval: np.ndarray,      # [N] f in EVAL
+    invsk_eval: np.ndarray,   # [N] 1/f in EVAL
+    lwe_sk: np.ndarray,       # [n] mod sk_mod
+    sk_mod: int,
+) -> XZDDFKey:
+    """KeyGenAcc (vntru-acc-xzddf.cpp:8-46): n+1 NTRU vector keys (KDM at
+    i=0, Enc(X^{+sum s}) at n) + q-1 automorphism keys for
+    t = (2N/q)(j+1)+1."""
+    N, Q, q = params.N, params.Q, params.q
+    dg = params.digits_g - 1
+    n = lwe_sk.shape[0]
+
+    gpow = np.ones(params.digits_g, dtype=np.int64)
+    for i in range(1, params.digits_g):
+        gpow[i] = gpow[i - 1] * params.base_g % Q
+    gvals = gpow[1:dg + 1]
+
+    s = np.asarray(lwe_sk, np.int64)
+    s_signed = np.where(s > sk_mod // 2, s - sk_mod, s)
+    m = np.concatenate([-s_signed, [s_signed.sum() % sk_mod]])
+    if m[-1] > sk_mod // 2:
+        m[-1] -= sk_mod
+    # X^m * G as COEFF polys: position m mod N, sign -(1) if m < 0
+    mm = ((m % N) + N) % N
+    sign = np.where(m < 0, -1, 1)
+
+    g_coeff = sampler.discrete_gaussian(params.std, (n + 1, dg, N), q=Q)
+    g_eval = np.asarray(ntt_fwd(tables, jnp.asarray(g_coeff, I32)), np.int64)
+    inv = np.asarray(invsk_eval, np.int64)
+
+    xm = np.zeros((n + 1, dg, N), dtype=np.int64)
+    rows = np.arange(n + 1)
+    xm[rows[:, None], np.arange(dg)[None, :], mm[:, None]] = (
+        sign[:, None] * gvals[None, :]) % Q
+    xm_eval = np.asarray(ntt_fwd(tables, jnp.asarray(xm % Q, I32)), np.int64)
+
+    evk = np.empty((n + 1, dg, N), dtype=np.int64)
+    # KDM row 0: (g + X^m G)/f  (KDMKeyGenXZDDF, :80-108)
+    evk[0] = (g_eval[0] + xm_eval[0]) * inv % Q
+    # rows 1..n: g/f + X^m G    (KeyGenXZDDF, :110-141)
+    evk[1:] = (g_eval[1:] * inv + xm_eval[1:]) % Q
+
+    # automorphism keys: (g + psi_t(f) Gpow)/f  (KeyGenAuto, :142-163)
+    ts = (2 * N // q) * (np.arange(1, q, dtype=np.int64)) + 1   # [q-1]
+    f_eval = jnp.asarray(np.asarray(sk_eval, np.int64), I32)
+    f_auto = np.asarray(
+        automorphism_eval(tables, f_eval[None, :].repeat(q - 1, 0),
+                          jnp.asarray(ts)), np.int64)           # [q-1, N]
+    ga = sampler.discrete_gaussian(params.std, (q - 1, dg, N), q=Q)
+    ga_eval = np.asarray(ntt_fwd(tables, jnp.asarray(ga, I32)), np.int64)
+    ak = (ga_eval + f_auto[:, None, :] * gvals[None, :, None]) % Q
+    ak = ak * inv % Q
+
+    return XZDDFKey(evk=jnp.asarray(evk, I32), auto=jnp.asarray(ak, I32))
+
+
+def _ext_prod(tables, params: VNTRUParams, ev, acc):
+    """acc <- <g^-1(acc), ev> (AddToAccXZDDF, vntru-acc-xzddf.cpp:165-186).
+    ev: [B, dG, N] or [dG, N]; acc: [B, N] EVAL."""
+    Q = params.Q
+    dg = params.digits_g - 1
+    from ..ops.ntt import ntt_inv
+
+    ct = ntt_inv(tables, acc)
+    dct = signed_digit_decompose(ct, Q, params.base_g, dg)   # [dG, B, N]
+    dct = ntt_fwd(tables, dct)
+    dct = jnp.moveaxis(dct, 0, 1)                            # [B, dG, N]
+    if ev.ndim == 2:
+        ev = ev[None]
+    out = (dct.astype(I64) * ev.astype(I64)).sum(axis=1) % Q
+    return out.astype(I32)
+
+
+def _newton_inv_mod_2N(w, twoN: int):
+    """w^-1 mod 2N for odd w; 2N is a power of two so Newton iteration
+    x <- x(2 - wx) converges in <= 5 steps for 2N <= 2^32."""
+    w = w.astype(I64)
+    x = w
+    for _ in range(5):
+        x = (x * (2 - w * x)) % twoN
+    return x % twoN
+
+
+@partial(jax.jit, static_argnames=("params",))
+def eval_acc(
+    tables: NTTTables, params: VNTRUParams, key: XZDDFKey, acc, a
+):
+    """Blind rotation by automorphism chain (EvalAcc,
+    vntru-acc-xzddf.cpp:48-77). acc: [..., N] EVAL already pre-rotated by
+    invw_0 (the caller applies AutomorphismTransform(invw[0]) to the test
+    vector); a: [..., n] mod q."""
+    N, q = params.N, params.q
+    twoN = 2 * N
+    factor = twoN // q
+
+    lead = a.shape[:-1]
+    n = a.shape[-1]
+    acc = acc.reshape(-1, N)
+    a2 = a.reshape(-1, n)
+    bsz = acc.shape[0]
+
+    w = (factor * a2.astype(I64) + 1) % twoN                  # [B, n]
+    invw = _newton_inv_mod_2N(w, twoN)
+    invw_next = jnp.concatenate(
+        [invw[:, 1:], jnp.ones((bsz, 1), I64)], axis=1)
+    t = (w * invw_next) % twoN                                # [B, n]
+    t_steps = jnp.moveaxis(t, 1, 0)                           # [n, B]
+
+    def step(acc, xs):
+        ev, t_i = xs                   # ev: [dG, N]; t_i: [B]
+        acc = _ext_prod(tables, params, ev, acc)
+        ak_idx = jnp.clip((t_i - 3) // 2, 0, key.auto.shape[0] - 1)
+        ak = key.auto[ak_idx]                                 # [B, dG, N]
+        acc_auto = automorphism_eval(tables, acc, t_i)
+        acc_auto = _ext_prod(tables, params, ak, acc_auto)
+        acc = jnp.where((t_i == 1)[:, None], acc, acc_auto)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (key.evk[:n], t_steps))
+    acc = _ext_prod(tables, params, key.evk[n], acc)
+    return acc.reshape(*lead, N)

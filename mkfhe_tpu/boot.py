@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .acc import cggi, xzw
+from .acc import cggi, xzddf, xzw
 from .constants import BINGATE, BINFHE_METHOD, KEYGEN_MODE
 from .keygen import sample_invertible_ring_secret
 from .ops.modmath import I32, I64, mod_add, mod_sub
@@ -440,3 +440,96 @@ def eval_bin_gate_mklwe(
         raise NotImplementedError("MKLWE path supports NAND (reference parity)")
     return _mk_gate_mklwe_jit(
         tables, params, ek, ct1.a, ct1.b, ct2.a, ct2.b)
+
+
+# ================================================== single-key NTRU (XZDDF)
+
+class VectorNTRUBTKey(NamedTuple):
+    """VectorNTRUBTKey (binfhe-base-scheme.h): XZDDF accumulator key +
+    LWE switching key targeting the NTRU secret f."""
+
+    bs: "xzddf.XZDDFKey"
+    ks: lwe.LWESwitchingKey
+
+
+def nbt_key_gen(
+    sampler: Sampler, params: BinFHEParams, tables, lwe_sk: np.ndarray,
+) -> VectorNTRUBTKey:
+    """NKeyGen (binfhe-base-scheme.cpp:76-103): Gaussian(0.5) invertible
+    ring secret f; KSkey switches from f-coefficients back to the LWE key."""
+    from .constants import SecretKeyDist
+
+    f, f_inv, f_eval, inv_eval = sample_invertible_ring_secret(
+        sampler, tables, SecretKeyDist.GAUSSIAN, std=0.5)
+    ks = lwe.key_switch_gen(sampler, params.lwe, lwe_sk, f)
+    bs = xzddf.key_gen_acc(
+        sampler, params.vntru, tables, f_eval, inv_eval,
+        lwe_sk, params.lwe.q_ks)
+    return VectorNTRUBTKey(bs=bs, ks=ks)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _ntru_gate_jit(tables, params, ek, a1, b1, a2, b2):
+    """XZDDF NAND-family gate (EvalBinGate, binfhe-base-scheme.cpp:518-574
+    + BootstrapGateCore :1136-1188)."""
+    lp = params.lwe
+    vp = params.vntru
+    q, N, Q = lp.q, vp.N, vp.Q
+    twoN = 2 * N
+    factor = twoN // q
+
+    ct1 = lwe.LWECiphertext(a1, b1)
+    ct2 = lwe.LWECiphertext(a2, b2)
+    prep = lwe.eval_add(ct1, ct2, q)
+    zero = lwe.LWECiphertext(
+        jnp.zeros_like(a1), jnp.full(b1.shape, (5 * q) // 8, I32))
+    ct_temp = lwe.eval_sub(zero, prep, q)
+
+    # test vector rotated by b_hat = b * 2N/q, sign-flipped on wrap
+    p = 4
+    Q2p = Q // (2 * p) + 1
+    rx = jnp.asarray(
+        np.where(np.arange(N) < N // 2, Q2p, Q - Q2p), I64)
+    b_hat = ct_temp.b.astype(I64) * factor                       # [...]
+    j = jnp.arange(N, dtype=I64)
+    idx = b_hat[..., None] + j
+    wrap = (idx >= N) & (idx < twoN)
+    val = jnp.where(wrap, Q - rx, rx).astype(I32)
+    pos = (idx % N).astype(jnp.int32)
+    bsz = int(np.prod(ct_temp.b.shape, dtype=np.int64)) or 1
+    m2 = jnp.zeros((bsz, N), I32)
+    bidx = jnp.arange(bsz)
+    new_m = m2.at[bidx[:, None], pos.reshape(-1, N)].set(
+        val.reshape(-1, N)).reshape(ct_temp.b.shape + (N,))
+
+    # pre-rotate by invw0 (binfhe-base-scheme.cpp:1179-1186)
+    from .acc.xzddf import _newton_inv_mod_2N
+    from .ops.poly import automorphism_eval
+
+    w0 = (factor * ct_temp.a[..., 0].astype(I64) + 1) % twoN
+    invw0 = _newton_inv_mod_2N(w0, twoN)
+    acc = automorphism_eval(tables, ntt_fwd(tables, new_m), invw0)
+
+    acc = xzddf.eval_acc(tables, vp, ek.bs, acc, ct_temp.a)
+
+    # extraction: a = coeffs of transpose(acc), b = Q/8+1 (:558-566)
+    a_out = ntt_inv(tables, transpose_eval(tables, acc))
+    b_out = jnp.full(ct_temp.b.shape, (Q >> 3) + 1, I32)
+    ct_ext = lwe.LWECiphertext(a_out, b_out)
+    ct_ms = lwe.mod_switch(ct_ext, lp.q_ks, Q)
+    ct_ks = lwe.key_switch(ct_ms, ek.ks, lp.q_ks, lp.base_ks, lp.digits_ks, lp.n)
+    return lwe.mod_switch(ct_ks, q, lp.q_ks)
+
+
+def eval_bin_gate_ntru(
+    tables, params: BinFHEParams, gate: BINGATE, ek: VectorNTRUBTKey,
+    ct1: lwe.LWECiphertext, ct2: lwe.LWECiphertext,
+) -> lwe.LWECiphertext:
+    """XZDDF gate eval. The reference's dispatch computes the NAND-style
+    5q/8 - (ct1+ct2) preparation for every non-XOR gate and a fixed test
+    vector (binfhe-base-scheme.cpp:541-556, 1158-1177), so NAND is the
+    gate with reference-parity semantics."""
+    if gate != BINGATE.NAND:
+        raise NotImplementedError(
+            "XZDDF path supports NAND (reference parity)")
+    return _ntru_gate_jit(tables, params, ek, ct1.a, ct1.b, ct2.a, ct2.b)

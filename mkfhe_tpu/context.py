@@ -68,6 +68,13 @@ class BinFHEContext:
             self.sampler, self.params, self.tables, sk, keygen_mode)
         return self.bt_key
 
+    def NBTKeyGen(self, sk: np.ndarray | None = None) -> "boot.VectorNTRUBTKey":
+        """NTRU (XZDDF) bootstrapping keys (binfhecontext.cpp:492-518)."""
+        sk = self.lwe_sk if sk is None else sk
+        self.nbt_key = boot.nbt_key_gen(
+            self.sampler, self.params, self.tables, sk)
+        return self.nbt_key
+
     # ----------------------------------------------------------- MK keygen
     def MNTRU_KeyGen(self):
         """k-user matrix-NTRU secret (binfhecontext.cpp:235-241)."""
@@ -129,6 +136,9 @@ class BinFHEContext:
         if isinstance(ct1, mklwe.MKLWECiphertext):
             return boot.eval_bin_gate_mklwe(
                 self.tables, self.params, gate, self.mk_bt_key, ct1, ct2)
+        if self.params.vntru is not None:
+            return boot.eval_bin_gate_ntru(
+                self.tables, self.params, gate, self.nbt_key, ct1, ct2)
         return boot.eval_bin_gate(
             self.tables, self.params, gate, self.bt_key, ct1, ct2)
 

@@ -31,16 +31,22 @@ def monomial_minus_one_eval(tables: NTTTables, c):
 
 
 def automorphism_eval(tables: NTTTables, a, t):
-    """X -> X^t automorphism in EVAL format (t odd, possibly traced).
+    """X -> X^t automorphism in EVAL format (t odd, possibly traced and
+    batched: t [...] applies per-row to a [..., N]).
 
     p'(psi^{e_j}) = p(psi^{e_j * t}); a pure gather. Matches
     PolyImpl::AutomorphismTransform on EVALUATION format
     (poly-impl.h:344-366) up to the internal slot ordering.
     """
     twoN = 2 * tables.N
-    src_exp = (tables.slot_exp.astype(jnp.int64) * jnp.asarray(t, jnp.int64)) % twoN
-    perm = tables.exp_to_slot[src_exp]
-    return jnp.take(a, perm, axis=-1)
+    t = jnp.asarray(t, jnp.int64)
+    if t.ndim == 0:
+        src_exp = (tables.slot_exp.astype(jnp.int64) * t) % twoN
+        perm = tables.exp_to_slot[src_exp]
+        return jnp.take(a, perm, axis=-1)
+    src_exp = (tables.slot_exp.astype(jnp.int64) * t[..., None]) % twoN
+    perm = tables.exp_to_slot[src_exp]          # [..., N]
+    return jnp.take_along_axis(a, perm, axis=-1)
 
 
 def transpose_eval(tables: NTTTables, a):
