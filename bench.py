@@ -1,0 +1,116 @@
+"""Benchmark: gate bootstraps/sec per chip (NAND, 2-party MKNTRU).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline is measured throughput / the BASELINE.json north-star target of
+10,000 bootstraps/sec/chip (the reference publishes no numbers of its own —
+BASELINE.md).
+
+Usage: python bench.py [--paramset STD100_MKNTRU] [--batch 64] [--reps 3]
+       [--single-key]   (bench STD128 GINX instead)
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def bench_mkntru(paramset: str, batch: int, reps: int):
+    import jax
+    from mkfhe_tpu import BinFHEContext, boot
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+
+    cc = BinFHEContext(seed=11)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.MKNTRU)
+    sk = cc.MNTRU_KeyGen()
+    cc.MKBTKeyGen(sk)
+    cc.ctGateGen(sk, BINGATE.NAND)
+
+    m1 = np.resize(np.array([0, 0, 1, 1]), batch)
+    m2 = np.resize(np.array([0, 1, 0, 1]), batch)
+    ct1 = cc.Encrypt(sk, m1)
+    ct2 = cc.Encrypt(sk, m2)
+
+    fn = lambda c1, c2: boot._mk_gate_mntru_jit(
+        cc.tables, cc.params, cc.mk_bt_key, cc.ct_nand.c, c1, c2).c
+
+    out = fn(ct1.c, ct2.c)
+    out.block_until_ready()                      # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(ct1.c, ct2.c)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    res = np.asarray(cc.Decrypt(sk, type(cc.ct_nand)(out)))
+    want = 1 - (m1 & m2)
+    correct = bool(np.array_equal(res, want))
+    return batch / dt, correct, dt
+
+
+def bench_ginx(paramset: str, batch: int, reps: int):
+    import jax
+    from mkfhe_tpu import BinFHEContext, boot
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+
+    cc = BinFHEContext(seed=12)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.GINX)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+
+    m1 = np.resize(np.array([0, 0, 1, 1]), batch)
+    m2 = np.resize(np.array([0, 1, 0, 1]), batch)
+    ct1 = cc.Encrypt(sk, m1)
+    ct2 = cc.Encrypt(sk, m2)
+
+    fn = lambda a1, b1, a2, b2: boot._gate_jit(
+        cc.tables, cc.params, BINGATE.NAND, cc.bt_key, a1, b1, a2, b2)
+
+    out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
+    out.b.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
+    out.b.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    res = np.asarray(cc.Decrypt(sk, out))
+    want = 1 - (m1 & m2)
+    correct = bool(np.array_equal(res, want))
+    return batch / dt, correct, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--paramset", default="STD100_MKNTRU")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=1)
+    ap.add_argument("--single-key", action="store_true")
+    args = ap.parse_args()
+
+    if args.single_key:
+        value, correct, dt = bench_ginx("STD128", args.batch, args.reps)
+        metric = "single-key GINX NAND bootstraps/sec/chip (STD128)"
+    else:
+        value, correct, dt = bench_mkntru(
+            args.paramset, args.batch, args.reps)
+        metric = "gate bootstraps/sec/chip (NAND, 2-party MKNTRU, %s)" % (
+            args.paramset)
+
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 3),
+        "unit": "bootstraps/sec",
+        "vs_baseline": round(value / 10000.0, 6),
+        "batch": args.batch,
+        "sec_per_batch": round(dt, 3),
+        "correct": correct,
+    }))
+
+
+if __name__ == "__main__":
+    main()

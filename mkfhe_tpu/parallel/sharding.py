@@ -1,0 +1,82 @@
+"""Multi-chip sharding for batched gate bootstrapping.
+
+The reference is a single-core CPU library with optional OpenMP pragmas
+(SURVEY.md §2.5); the TPU-native scale-out axes are:
+
+  * dp    — ciphertext batch (the natural throughput axis the reference
+            lacks entirely): leading dim of every ciphertext array
+  * party — the k users of the MK schemes: the `for u in [k]` loops of
+            EvalAcc/HbProd (mk-acc-xzw.cpp:106-128, 240-271) become a
+            sharded axis whose sum_v reduction (:269) XLA lowers to a psum
+            over ICI
+  * (ring — N-dim sharding of the NTT butterflies via all_to_all is the
+            planned third axis for N >= 16k rings; current MK sets use
+            N = 2048, which fits a single chip's VMEM comfortably)
+
+Sharding is expressed with jit + NamedSharding constraints; XLA GSPMD
+inserts the collectives. Keys are replicated across dp and sharded over
+party where profitable (small k keeps them replicated by default:
+BSkey for k=2 STD100 is ~75 MB — cheap next to HBM).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import boot
+
+
+def make_mesh(n_devices: int | None = None, party: int = 1) -> Mesh:
+    """Mesh over (dp, party). party divides n_devices; remaining devices
+    form the data-parallel axis."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = np.asarray(devs[:n_devices])
+    dp = n_devices // party
+    return Mesh(devs.reshape(dp, party), axis_names=("dp", "party"))
+
+
+def mk_gate_shardings(mesh: Mesh):
+    """(in_shardings, out_sharding) for the MNTRU MK gate step.
+
+    Ciphertexts [B, k, n]: batch over dp, party axis over 'party'.
+    Keys: BSkey ek [k, nb, n, dG, 2, N] party-sharded on axis 0; pkey
+    [k, dG, N] party-sharded; KSK [k, N*d, n] party-sharded; f replicated.
+    """
+    ct = NamedSharding(mesh, P("dp", "party", None))
+    ek = NamedSharding(mesh, P("party", None, None, None, None, None))
+    pkey = NamedSharding(mesh, P("party", None, None))
+    ksk = NamedSharding(mesh, P("party", None, None))
+    rep = NamedSharding(mesh, P())
+    return ct, ek, pkey, ksk, rep
+
+
+def shard_mk_gate(mesh: Mesh, tables, params, ek: boot.UniEncBTKey):
+    """Return a jitted, mesh-sharded MNTRU NAND step:
+    (ct_nand_c, c1, c2) -> out_c with dp x party layout."""
+    ct_s, ek_s, pkey_s, ksk_s, rep_s = mk_gate_shardings(mesh)
+
+    ek_sharded = boot.UniEncBTKey(
+        bs=type(ek.bs)(
+            ek=jax.device_put(ek.bs.ek, ek_s),
+            ekstar=jax.device_put(ek.bs.ekstar, rep_s),
+            pkey=jax.device_put(ek.bs.pkey, pkey_s),
+        ),
+        ks=type(ek.ks)(ksk=jax.device_put(ek.ks.ksk, ksk_s)),
+        f_eval=jax.device_put(ek.f_eval, rep_s),
+        f_coeff=jax.device_put(ek.f_coeff, rep_s),
+    )
+
+    def step(ct_nand_c, c1, c2):
+        c1 = jax.lax.with_sharding_constraint(c1, ct_s)
+        c2 = jax.lax.with_sharding_constraint(c2, ct_s)
+        out = boot._mk_gate_mntru_jit(
+            tables, params, ek_sharded, ct_nand_c, c1, c2)
+        return out.c
+
+    fn = jax.jit(step, out_shardings=NamedSharding(mesh, P("dp", "party", None)))
+    return fn, ek_sharded
