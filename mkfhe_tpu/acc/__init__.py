@@ -1,1 +1,1 @@
-from . import cggi, xzddf, xzw  # noqa: F401
+from . import cggi, dm, xzddf, xzw  # noqa: F401

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .acc import cggi, xzddf, xzw
+from .acc import cggi, dm, xzddf, xzw
 from .constants import BINGATE, BINFHE_METHOD, KEYGEN_MODE
 from .keygen import sample_invertible_ring_secret
 from .ops.modmath import I32, I64, mod_add, mod_sub
@@ -47,6 +47,9 @@ def bt_key_gen(
     skN_eval = np.asarray(ntt_fwd(tables, jnp.asarray(skN, I32)))
     if params.method == BINFHE_METHOD.GINX:
         bs = cggi.key_gen_acc(
+            sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
+    elif params.method == BINFHE_METHOD.AP:
+        bs = dm.key_gen_acc(
             sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
     else:
         raise NotImplementedError(params.method)
@@ -109,6 +112,8 @@ def make_func_test_vector(params: BinFHEParams, b, lut_vals) -> jnp.ndarray:
 def _eval_acc(tables, params: BinFHEParams, bs, acc, a):
     if params.method == BINFHE_METHOD.GINX:
         return cggi.eval_acc(tables, params.rgsw, bs, acc, a)
+    if params.method == BINFHE_METHOD.AP:
+        return dm.eval_acc(tables, params.rgsw, bs, acc, a)
     raise NotImplementedError(params.method)
 
 

@@ -80,6 +80,39 @@ def switch_modulus(a, q_from: int, q_to: int):
     return (s % q_to).astype(I32)
 
 
+def exact_mod_matmul(a, b, q: int, a_bits: int, b_bits: int = None):
+    """(a @ b) mod q computed EXACTLY via bf16 MXU passes.
+
+    a: int32 [..., K] with values in [0, 2**a_bits); b: int32 [K, N] or
+    batched [..., K, N] matching a's leading dims; returns int32 [..., N].
+
+    TPU has no s64 dot (the X64 rewrite rejects s64 dot_general), so b is
+    split into limbs small enough that every bf16xbf16->f32 MXU pass
+    accumulates exactly (sum_K a*limb < 2**24, bf16 exact for ints < 256):
+    limb_bits chosen so a_bits + limb_bits + log2(K) <= 24.
+    """
+    import math
+
+    K = a.shape[-1]
+    if b_bits is None:
+        b_bits = max(1, int(math.ceil(math.log2(q))))
+    limb_bits = 24 - a_bits - int(math.ceil(math.log2(K)))
+    limb_bits = min(limb_bits, 8)   # bf16 integer-exactness bound (2**8)
+    if limb_bits < 1:
+        raise ValueError("operands too wide for exact bf16 passes")
+    n_limbs = -(-b_bits // limb_bits)
+    mask = (1 << limb_bits) - 1
+
+    a16 = a.astype(jnp.bfloat16)
+    acc = None
+    for l in range(n_limbs):
+        limb = ((b >> (l * limb_bits)) & mask).astype(jnp.bfloat16)
+        part = jnp.matmul(a16, limb, preferred_element_type=jnp.float32)
+        part = part.astype(I64) << (l * limb_bits)
+        acc = part if acc is None else acc + part
+    return (acc % q).astype(I32)
+
+
 def barrett_mul(a, b, q: int, mu: int | None = None):
     """Barrett (a*b) mod q. `mu = floor(2**56 / q)` precomputable.
 

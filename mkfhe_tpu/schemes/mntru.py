@@ -192,6 +192,10 @@ def key_switch2(
     dig = jnp.moveaxis(dig, 0, -1)                        # [B, k, N, d]
     dig = dig.reshape(-1, k, Nd)                          # row-major (i*d+j)
 
-    out = jnp.einsum(
-        "bkl,kln->bkn", dig.astype(I64), ksk.ksk.astype(I64)) % q_ks
-    return MNTRUCiphertext(out.astype(I32).reshape(*lead, k, n))
+    # exact MXU contraction (s64 dots are unsupported on TPU)
+    dig_bits = max(1, (base_ks - 1).bit_length())
+    out = exact_mod_matmul(
+        jnp.moveaxis(dig, 1, 0),                          # [k, B, Nd]
+        ksk.ksk, q_ks, a_bits=dig_bits)                   # [k, B, n]
+    out = jnp.moveaxis(out, 0, 1)                         # [B, k, n]
+    return MNTRUCiphertext(out.reshape(*lead, k, n))
