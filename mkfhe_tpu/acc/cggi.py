@@ -86,16 +86,18 @@ def key_gen_acc(
     return CGGIKey(jnp.stack([A_msg_eval, B_eval], axis=3))
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "a_mod"))
 def eval_acc(
-    tables: NTTTables, params: RGSWParams, key: CGGIKey, acc, a
+    tables: NTTTables, params: RGSWParams, key: CGGIKey, acc, a,
+    a_mod: int | None = None,
 ) -> jnp.ndarray:
     """Blind rotation (EvalAcc + AddToAccCGGI, rgsw-acc-cggi.cpp:60-152).
 
     acc: [..., 2, N] EVAL; a: [..., n] int32 mod q. Scan over the n
     (sequential) steps; batch dims ride along.
     """
-    Q, N, q = params.Q, params.N, params.q
+    Q, N = params.Q, params.N
+    q = params.q if a_mod is None else a_mod
     dg = params.digits_g - 1
     dg2 = 2 * dg
     m_by_mod = 2 * N // q

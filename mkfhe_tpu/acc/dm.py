@@ -94,16 +94,18 @@ def key_gen_acc(
     return DMKey(key)
 
 
-@partial(jax.jit, static_argnames=("params",))
+@partial(jax.jit, static_argnames=("params", "a_mod"))
 def eval_acc(
-    tables: NTTTables, params: RGSWParams, key: DMKey, acc, a
+    tables: NTTTables, params: RGSWParams, key: DMKey, acc, a,
+    a_mod: int | None = None,
 ) -> jnp.ndarray:
     """Blind rotation (EvalAcc + AddToAccDM, rgsw-acc-dm.cpp:62-144).
 
     acc: [..., 2, N] EVAL; a: [..., n] mod q. Scan over n*dR digit steps;
     each step REPLACES acc by <g^-1(acc), ek[i][digit][t]> unless the digit
     is zero (lane-masked)."""
-    Q, N, q = params.Q, params.N, params.q
+    Q, N = params.Q, params.N
+    q = params.q if a_mod is None else a_mod
     dg = params.digits_g - 1
     dg2 = 2 * dg
     baseR, dR = params.base_r, params.digits_r

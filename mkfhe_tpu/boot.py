@@ -109,11 +109,11 @@ def make_func_test_vector(params: BinFHEParams, b, lut_vals) -> jnp.ndarray:
 
 # ------------------------------------------------------------- core + tail
 
-def _eval_acc(tables, params: BinFHEParams, bs, acc, a):
+def _eval_acc(tables, params: BinFHEParams, bs, acc, a, a_mod=None):
     if params.method == BINFHE_METHOD.GINX:
-        return cggi.eval_acc(tables, params.rgsw, bs, acc, a)
+        return cggi.eval_acc(tables, params.rgsw, bs, acc, a, a_mod)
     if params.method == BINFHE_METHOD.AP:
-        return dm.eval_acc(tables, params.rgsw, bs, acc, a)
+        return dm.eval_acc(tables, params.rgsw, bs, acc, a, a_mod)
     raise NotImplementedError(params.method)
 
 

@@ -152,9 +152,44 @@ class BinFHEContext:
     def Bootstrap(self, ct, p: int = 4) -> lwe.LWECiphertext:
         return boot.bootstrap(self.tables, self.params, self.bt_key, ct, p)
 
+    # ------------------------------------------------------- extended ops
+    def GenerateLUTviaFunction(self, f, p: int) -> list[int]:
+        """LUT over Z_q from f: Z_p -> Z_p (binfhecontext.cpp:468-489)."""
+        if p & (p - 1):
+            raise ValueError("plaintext space must be a power of two")
+        q = self.params.lwe.q
+        interval = q // p
+        return [(f(i // interval, p) % p) * interval for i in range(q)]
+
+    def EvalFunc(self, ct, lut: list[int]):
+        from . import extended
+
+        return extended.eval_func(
+            self.tables, self.params, self.bt_key, ct, lut, self.GetBeta())
+
+    def EvalFloor(self, ct, ct_mod: int, roundbits: int = 0):
+        from . import extended
+
+        return extended.eval_floor(
+            self.tables, self.params, self.bt_key, ct, self.GetBeta(),
+            ct_mod, roundbits)
+
+    def EvalSign(self, ct, ct_mod: int):
+        from . import extended
+
+        return extended.eval_sign(
+            self.tables, self.params, self.bt_key, ct, self.GetBeta(), ct_mod)
+
+    def EvalDecomp(self, ct, ct_mod: int):
+        from . import extended
+
+        return extended.eval_decomp(
+            self.tables, self.params, self.bt_key, ct, self.GetBeta(), ct_mod)
+
     # ----------------------------------------------------------- constants
     def GetMaxPlaintextSpace(self) -> int:
-        return self.params.lwe.q // (2 * self.params.lwe.N // self.params.lwe.q)
+        """q / 2beta (binfhecontext.h:482-485)."""
+        return self.params.lwe.q // (self.GetBeta() << 1)
 
     def GetBeta(self) -> int:
         return 128

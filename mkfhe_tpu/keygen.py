@@ -44,6 +44,8 @@ def sample_invertible_ring_secret(
     trunc(N(0, 0.5)) per coefficient (the hardcoded sigma at
     binfhe-base-scheme.cpp:109), UNIFORM_TERNARY uses uniform {-1,0,1}.
     """
+    from . import native
+
     N, Q = tables.N, tables.Q
     while True:
         if key_dist == SecretKeyDist.GAUSSIAN:
@@ -51,6 +53,12 @@ def sample_invertible_ring_secret(
         else:
             f = sampler.ternary(N)
         f_mod = np.where(f < 0, f + Q, f).astype(np.int64)
+        if native.available():
+            res = native.invert_ring_mod_q(f_mod, tables)
+            if res is None:
+                continue
+            f_inv, f_eval, inv_eval = res
+            return f_mod, f_inv, f_eval, inv_eval
         f_eval = _np_ntt_fwd(tables, f_mod)
         if np.any(f_eval == 0):
             continue
@@ -85,12 +93,17 @@ def sample_invertible_matrix(
     Matches Get_invertible_Matrix (mntru-pke.cpp:19-106): GAUSSIAN uses
     trunc(N(0, 1)) (hardcoded sigma at mntru-pke.cpp:25).
     """
+    from . import native
+
     while True:
         if key_dist == SecretKeyDist.GAUSSIAN:
             F = sampler.truncated_normal_int(std, (n, n))
         else:
             F = sampler.ternary((n, n))
         F_mod = np.where(F < 0, F + p, F).astype(np.int64)
-        F_inv = invert_matrix_mod_p(F_mod, p)
+        if native.available():
+            F_inv = native.invert_matrix_mod_p(F_mod, p)
+        else:
+            F_inv = invert_matrix_mod_p(F_mod, p)
         if F_inv is not None:
             return F_mod, F_inv

@@ -1,0 +1,96 @@
+"""Extended-op tests (EvalFunc / EvalFloor / EvalSign / EvalDecomp),
+mirroring src/binfhe/unittest/UnitTestFunc.cpp at MEDIUM-ish params."""
+
+import numpy as np
+import pytest
+
+from mkfhe_tpu import BinFHEContext
+from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    cc = BinFHEContext(seed=9)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET.MEDIUM, BINFHE_METHOD.GINX)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    return cc, sk
+
+
+def test_eval_func_cube(ctx):
+    """f(m) = m^3 mod p (UnitTestFunc.cpp:50-72)."""
+    cc, sk = ctx
+    p = cc.GetMaxPlaintextSpace()
+    lut = cc.GenerateLUTviaFunction(lambda m, pp: (m ** 3) % pp, p)
+    m = np.arange(p)
+    ct = cc.Encrypt(sk, m, p=p)
+    ct_out = cc.EvalFunc(ct, lut)
+    res = cc.Decrypt(sk, ct_out, p=p)
+    np.testing.assert_array_equal(res, (m ** 3) % p)
+
+
+def test_eval_floor(ctx):
+    """EvalFloor drops the low log2(q) chunk (UnitTestFunc.cpp:74-98).
+
+    Encoding unit is 2*beta = 256 (one 'digit' of GetMaxPlaintextSpace=4
+    per q-level); flooring then mod-switching by q/2beta leaves m // 4."""
+    cc, sk = ctx
+    q = cc.params.lwe.q                      # 1024
+    beta = cc.GetBeta()
+    mod = q << 3                             # 8192
+    P = mod // (2 * beta)                    # 32 messages, unit 256
+    m = np.array([0, 3, 4, 17, 31])
+    ct = cc.Encrypt(sk, m, p=P, mod=mod)
+    ct_fl = cc.EvalFloor(ct, mod)
+    new_mod = (mod // q) * 2 * beta          # 2048
+    from mkfhe_tpu.schemes import lwe as lwe_mod
+
+    ct_sw = lwe_mod.mod_switch(ct_fl, new_mod, mod)
+    got = decrypt_at(cc, sk, ct_sw, new_mod, new_mod // 256)
+    want = m // 4
+    np.testing.assert_array_equal(got, want)
+
+
+def decrypt_at(cc, sk, ct, mod, p):
+    """Decrypt helper at an explicit modulus (values encode m*(mod/p))."""
+    import numpy as np
+
+    a = np.asarray(ct.a, np.int64)
+    b = np.asarray(ct.b, np.int64)
+    qks = cc.params.lwe.q_ks
+    s = np.where(sk > qks // 2, sk - qks, sk) % mod
+    r = (b - a @ s) % mod
+    r = (r + mod // (p * 2)) % mod
+    return (p * r) // mod
+
+
+def test_eval_sign(ctx):
+    """Large-precision MSB (UnitTestFunc.cpp:100-122)."""
+    cc, sk = ctx
+    q = cc.params.lwe.q
+    mod = 1 << 17
+    P = mod // 512
+    half = P // 2
+    m = np.array([half - 2, half - 1, half, half + 1, half + 2]) % P
+    ct = cc.Encrypt(sk, m, p=P, mod=mod)
+    ct_out = cc.EvalSign(ct, mod)
+    res = cc.Decrypt(sk, ct_out, p=2)
+    want = (m >= half).astype(np.int64)
+    np.testing.assert_array_equal(res, want)
+
+
+def test_eval_decomp(ctx):
+    """Digit decomposition returns all base-p digits
+    (UnitTestFunc.cpp:150-240)."""
+    cc, sk = ctx
+    q = cc.params.lwe.q
+    p = cc.GetMaxPlaintextSpace()            # 4
+    beta = cc.GetBeta()
+    mod = 1 << 17
+    P = mod // (2 * beta)                    # unit 256
+    m = np.array([5, 37, 77, 123])
+    ct = cc.Encrypt(sk, m, p=P, mod=mod)
+    digits = cc.EvalDecomp(ct, mod)
+    # first digit is m mod p (decrypted at modulus q with pt space p)
+    got0 = decrypt_at(cc, sk, digits[0], q, p)
+    np.testing.assert_array_equal(got0, m % p)
