@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from ..constants import SecretKeyDist
 from ..keygen import sample_invertible_matrix
 from ..ops.decompose import base_digits_unsigned
-from ..ops.modmath import I32, I64, mod_add, mod_sub, round_q_Q
+from ..ops.modmath import (
+    I32, I64, exact_mod_matmul, mod_add, mod_sub, round_q_Q)
 from ..params import MNTRUParams
 from ..rng import Sampler
 

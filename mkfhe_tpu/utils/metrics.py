@@ -1,0 +1,127 @@
+"""Observability: timers, noise measurement, roofline accounting.
+
+Replaces the reference's ad-hoc machinery (SURVEY.md §5): TIC/TOC macros
+(utils/debug.h:126-130), the WITH_NOISE_DEBUG stderr noise dumps
+(mntru-pke.cpp:239-252, lwe-pke.cpp:237-242), and the absent structured
+metrics. Everything here returns data (dicts/arrays), never prints.
+"""
+
+import time
+
+import numpy as np
+
+
+class Timer:
+    """TIC/TOC with named laps; `with Timer() as t: ...; t.laps`."""
+
+    def __init__(self):
+        self.laps = {}
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.laps.setdefault("total", time.perf_counter() - self._t0)
+
+    def lap(self, name: str):
+        now = time.perf_counter()
+        self.laps[name] = now - self._t0
+        self._t0 = now
+
+
+def _signed(x, q):
+    x = np.asarray(x, np.int64) % q
+    return np.where(x > q // 2, x - q, x)
+
+
+def noise_lwe(params, sk, ct, m, p: int = 4):
+    """Signed noise of an LWE ciphertext batch given the true message
+    (the WITH_NOISE_DEBUG quantity, lwe-pke.cpp:237-242)."""
+    q = params.q
+    a = np.asarray(ct.a, np.int64)
+    b = np.asarray(ct.b, np.int64)
+    qks = params.q_ks
+    s = _signed(sk, qks) % q
+    phase = (b - a @ s) % q
+    want = (np.asarray(m, np.int64) % p) * (q // p)
+    return _signed(phase - want, q)
+
+
+def noise_mntru(params, sk, ct, m, p: int = 4, nand_shifted: bool = True):
+    """Signed noise of an MNTRU ciphertext batch (mntru-pke.cpp:343-356).
+    nand_shifted: gate outputs encode m*q/4 - q/8."""
+    q = params.q
+    f0 = _signed(sk.F_col0, params.q_ks) % q
+    c = np.asarray(ct.c, np.int64)
+    phase = np.einsum("...kn,kn->...", c, f0) % q
+    want = (np.asarray(m, np.int64) % p) * (q // p)
+    if nand_shifted:
+        want = (want - q // (2 * p)) % q
+    return _signed(phase - want, q)
+
+
+def noise_stats(noise: np.ndarray, q: int) -> dict:
+    """Batch noise summary: std, max, p99, margin utilisation vs q/8."""
+    a = np.abs(noise.astype(np.float64))
+    margin = q / 8
+    return {
+        "std": float(noise.std()),
+        "max": float(a.max()),
+        "p99": float(np.percentile(a, 99)),
+        "margin_frac": float(a.max() / margin),
+    }
+
+
+# ------------------------------------------------------------------ roofline
+
+def gate_op_counts(params) -> dict:
+    """Analytical op counts for ONE gate bootstrap (per ciphertext) —
+    the denominator for roofline efficiency.
+
+    Counts 'modmul' = one exact modular multiply (the unit the VPU path
+    pays ~an emulated 64-bit multiply + constant-mod for).
+    """
+    if params.unienc is not None:
+        up = params.unienc
+        k, N = up.k, up.N
+        n = (params.mntru or params.mklwe).n
+        dg = up.digits_g - 1
+        steps = k * n
+        ntt_cost = (N // 2) * int(np.log2(N))
+        # per step (HbProd): k INTTs + k*dg NTTs + 1 INTT + dg NTTs
+        transforms = steps * ((k + 1) + (k + 1) * dg)
+        pointwise = steps * (k * dg * 2 + dg + 2 * k) * N
+        return {
+            "transforms": transforms,
+            "modmul": transforms * ntt_cost + pointwise,
+            "steps": steps,
+        }
+    rp = params.rgsw
+    N = rp.N
+    n = params.lwe.n
+    dg2 = 2 * (rp.digits_g - 1)
+    ntt_cost = (N // 2) * int(np.log2(N))
+    transforms = n * (2 + dg2)
+    pointwise = n * (dg2 * 4 + 4) * N
+    return {
+        "transforms": transforms,
+        "modmul": transforms * ntt_cost + pointwise,
+        "steps": n,
+    }
+
+
+def roofline_report(params, sec_per_gate: float,
+                    peak_modmul_per_sec: float = 2.0e11) -> dict:
+    """Measured gate time vs the analytical modmul count and an assumed
+    device peak (default ~0.2 Tmodmul/s for emulated-s64 VPU lanes; refine
+    with bench_suite measurements)."""
+    ops = gate_op_counts(params)
+    achieved = ops["modmul"] / sec_per_gate
+    return {
+        **ops,
+        "sec_per_gate": sec_per_gate,
+        "modmul_per_sec": achieved,
+        "efficiency_vs_peak": achieved / peak_modmul_per_sec,
+    }
