@@ -90,7 +90,16 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--single-key", action="store_true")
+    ap.add_argument("--ntt", default="auto",
+                    choices=["auto", "mxu", "butterfly"])
     args = ap.parse_args()
+
+    import jax
+    from mkfhe_tpu.ops import ntt as _ntt
+    impl = args.ntt
+    if impl == "auto":
+        impl = "butterfly" if jax.default_backend() == "cpu" else "mxu"
+    _ntt.set_default_impl(impl)
 
     if args.single_key:
         value, correct, dt = bench_ginx("STD128", args.batch, args.reps)
