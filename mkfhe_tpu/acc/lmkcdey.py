@@ -105,9 +105,12 @@ def key_gen_acc(
         automorphism_eval(
             tables, jnp.asarray(skev, I32)[None].repeat(w + 1, 0),
             jnp.asarray(ts)), np.int64)                        # [w+1, N]
+    # NativePoly(dug/dgg, EVALUATION) samples in COEFF then NTTs
+    # (poly-impl.h:56-61), so the Gaussian noise is small in COEFF domain
     Aa = sampler.uniform(Q, (w + 1, dg, N))
     Ea = sampler.discrete_gaussian(params.std, (w + 1, dg, N), q=Q)
-    # reference samples dug/dgg directly in EVAL format (:222-223)
+    Aa = np.asarray(ntt_fwd(tables, jnp.asarray(Aa, I32)), np.int64)
+    Ea = np.asarray(ntt_fwd(tables, jnp.asarray(Ea, I32)), np.int64)
     Ba = (Ea - sk_auto[:, None, :] * gpow[1:dg + 1][None, :, None]
           + Aa * skev) % Q
     ak = np.stack([Aa, Ba], axis=2)                            # [w+1, dG, 2, N]

@@ -12,7 +12,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .acc import cggi, dm, xzddf, xzw
+from .acc import cggi, dm, lmkcdey, xzddf, xzw
 from .constants import BINGATE, BINFHE_METHOD, KEYGEN_MODE
 from .keygen import sample_invertible_ring_secret
 from .ops.modmath import I32, I64, mod_add, mod_sub
@@ -50,6 +50,9 @@ def bt_key_gen(
             sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
     elif params.method == BINFHE_METHOD.AP:
         bs = dm.key_gen_acc(
+            sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
+    elif params.method == BINFHE_METHOD.LMKCDEY:
+        bs = lmkcdey.key_gen_acc(
             sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
     else:
         raise NotImplementedError(params.method)
@@ -114,6 +117,8 @@ def _eval_acc(tables, params: BinFHEParams, bs, acc, a, a_mod=None):
         return cggi.eval_acc(tables, params.rgsw, bs, acc, a, a_mod)
     if params.method == BINFHE_METHOD.AP:
         return dm.eval_acc(tables, params.rgsw, bs, acc, a, a_mod)
+    if params.method == BINFHE_METHOD.LMKCDEY:
+        return lmkcdey.eval_acc(tables, params.rgsw, bs, acc, a)
     raise NotImplementedError(params.method)
 
 
