@@ -76,14 +76,14 @@ def key_gen_acc(
     A_msg[:, :, :, 0] = (A[:, :, :, 0] + msel[:, :, None] * addA) % Q
     E[:, :, :, 0] = (E[:, :, :, 0] + msel[:, :, None] * addE) % Q
 
-    A_eval = ntt_fwd(tables, jnp.asarray(A, I32))
-    A_msg_eval = ntt_fwd(tables, jnp.asarray(A_msg, I32))
-    E_eval = ntt_fwd(tables, jnp.asarray(E, I32))
-    sk_eval = jnp.asarray(sk_N_eval, I32)
-    B_eval = mod_add(
-        E_eval, ((A_eval.astype(I64) * sk_eval.astype(I64)) % Q).astype(I32), Q
-    )
-    return CGGIKey(jnp.stack([A_msg_eval, B_eval], axis=3))
+    from ..ops.ntt import host_ntt_fwd
+
+    A_eval = host_ntt_fwd(tables, A)
+    A_msg_eval = host_ntt_fwd(tables, A_msg)
+    E_eval = host_ntt_fwd(tables, E)
+    sk_np = np.asarray(sk_N_eval, np.int64)
+    B_eval = (E_eval + A_eval * sk_np) % Q
+    return CGGIKey(jnp.asarray(np.stack([A_msg_eval, B_eval], axis=3), I32))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))

@@ -80,18 +80,18 @@ def key_gen_acc(
         E[rows[:, None], d_idx[None, (~evn).nonzero()[0]], mmr[:, None]]
         + add[:, ~evn]) % Q
 
-    A_eval = ntt_fwd(tables, jnp.asarray(A, I32))
-    A_msg_eval = ntt_fwd(tables, jnp.asarray(A_msg, I32))
-    E_eval = ntt_fwd(tables, jnp.asarray(E, I32))
-    sk_eval = jnp.asarray(np.asarray(sk_N_eval, np.int64), I32)
-    B_eval = mod_add(
-        E_eval,
-        ((A_eval.astype(I64) * sk_eval.astype(I64)) % Q).astype(I32), Q)
-    key = jnp.stack([A_msg_eval, B_eval], axis=2)                # [R, dg2, 2, N]
+    from ..ops.ntt import host_ntt_fwd
+
+    A_eval = host_ntt_fwd(tables, A)
+    A_msg_eval = host_ntt_fwd(tables, A_msg)
+    E_eval = host_ntt_fwd(tables, E)
+    sk_np = np.asarray(sk_N_eval, np.int64)
+    B_eval = (E_eval + A_eval * sk_np) % Q
+    key = np.stack([A_msg_eval, B_eval], axis=2)                 # [R, dg2, 2, N]
     key = key.reshape(n, baseR, dR, dg2, 2, N)
     # zero out j == 0 rows (never used; keeps gather semantics clean)
-    key = key.at[:, 0].set(0)
-    return DMKey(key)
+    key[:, 0] = 0
+    return DMKey(jnp.asarray(key, I32))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))

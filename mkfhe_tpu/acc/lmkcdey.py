@@ -88,9 +88,11 @@ def key_gen_acc(
     E[rows[:, None], d_idx[None, ~evn], mm[:, None]] = (
         E[rows[:, None], d_idx[None, ~evn], mm[:, None]] + add[:, ~evn]) % Q
 
-    A_eval = np.asarray(ntt_fwd(tables, jnp.asarray(A, I32)), np.int64)
-    A_msg_eval = np.asarray(ntt_fwd(tables, jnp.asarray(A_msg, I32)), np.int64)
-    E_eval = np.asarray(ntt_fwd(tables, jnp.asarray(E, I32)), np.int64)
+    from ..ops.ntt import host_ntt_fwd
+
+    A_eval = host_ntt_fwd(tables, A)
+    A_msg_eval = host_ntt_fwd(tables, A_msg)
+    E_eval = host_ntt_fwd(tables, E)
     skev = np.asarray(sk_N_eval, np.int64)
     B_eval = (E_eval + A_eval * skev) % Q
     evk = np.stack([A_msg_eval, B_eval], axis=2)               # [n, dg2, 2, N]
@@ -109,8 +111,8 @@ def key_gen_acc(
     # (poly-impl.h:56-61), so the Gaussian noise is small in COEFF domain
     Aa = sampler.uniform(Q, (w + 1, dg, N))
     Ea = sampler.discrete_gaussian(params.std, (w + 1, dg, N), q=Q)
-    Aa = np.asarray(ntt_fwd(tables, jnp.asarray(Aa, I32)), np.int64)
-    Ea = np.asarray(ntt_fwd(tables, jnp.asarray(Ea, I32)), np.int64)
+    Aa = host_ntt_fwd(tables, Aa)
+    Ea = host_ntt_fwd(tables, Ea)
     Ba = (Ea - sk_auto[:, None, :] * gpow[1:dg + 1][None, :, None]
           + Aa * skev) % Q
     ak = np.stack([Aa, Ba], axis=2)                            # [w+1, dG, 2, N]

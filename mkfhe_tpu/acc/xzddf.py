@@ -63,15 +63,17 @@ def key_gen_acc(
     mm = ((m % N) + N) % N
     sign = np.where(m < 0, -1, 1)
 
+    from ..ops.ntt import host_ntt_fwd
+
     g_coeff = sampler.discrete_gaussian(params.std, (n + 1, dg, N), q=Q)
-    g_eval = np.asarray(ntt_fwd(tables, jnp.asarray(g_coeff, I32)), np.int64)
+    g_eval = host_ntt_fwd(tables, g_coeff)
     inv = np.asarray(invsk_eval, np.int64)
 
     xm = np.zeros((n + 1, dg, N), dtype=np.int64)
     rows = np.arange(n + 1)
     xm[rows[:, None], np.arange(dg)[None, :], mm[:, None]] = (
         sign[:, None] * gvals[None, :]) % Q
-    xm_eval = np.asarray(ntt_fwd(tables, jnp.asarray(xm % Q, I32)), np.int64)
+    xm_eval = host_ntt_fwd(tables, xm % Q)
 
     evk = np.empty((n + 1, dg, N), dtype=np.int64)
     # KDM row 0: (g + X^m G)/f  (KDMKeyGenXZDDF, :80-108)
@@ -86,7 +88,7 @@ def key_gen_acc(
         automorphism_eval(tables, f_eval[None, :].repeat(q - 1, 0),
                           jnp.asarray(ts)), np.int64)           # [q-1, N]
     ga = sampler.discrete_gaussian(params.std, (q - 1, dg, N), q=Q)
-    ga_eval = np.asarray(ntt_fwd(tables, jnp.asarray(ga, I32)), np.int64)
+    ga_eval = host_ntt_fwd(tables, ga)
     ak = (ga_eval + f_auto[:, None, :] * gvals[None, :, None]) % Q
     ak = ak * inv % Q
 

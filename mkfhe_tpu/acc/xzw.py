@@ -78,9 +78,11 @@ def _unienc_rows(
     e1 = sampler.discrete_gaussian(params.sigma_e, (R, dg, N), q=Q)
     r_coeff = sampler.discrete_gaussian(params.sigma_r, (R, N), q=Q)
 
-    e0_eval = np.asarray(ntt_fwd(tables, jnp.asarray(e0, I32)), np.int64)
-    e1_eval = np.asarray(ntt_fwd(tables, jnp.asarray(e1, I32)), np.int64)
-    r_eval = np.asarray(ntt_fwd(tables, jnp.asarray(r_coeff, I32)), np.int64)
+    from ..ops.ntt import host_ntt_fwd
+
+    e0_eval = host_ntt_fwd(tables, e0)
+    e1_eval = host_ntt_fwd(tables, e1)
+    r_eval = host_ntt_fwd(tables, r_coeff)
 
     inv = np.asarray(invsk_eval, np.int64)                      # [R, N]
     # f = (e1 + g_i * r) * invsk  (all EVAL, g_i constant-poly = scalar)

@@ -25,10 +25,11 @@ from .schemes import lwe, mklwe, mntru
 
 class RingGSWBTKey(NamedTuple):
     """RingGSWBTKey (binfhe-base-scheme.h:44-56): blind-rotation key +
-    LWE switching key."""
+    LWE switching key (+ public key under PUB_ENCRYPT keygen)."""
 
     bs: NamedTuple
     ks: lwe.LWESwitchingKey
+    pk: lwe.LWEPublicKey | None = None
 
 
 # ------------------------------------------------------------------- keygen
@@ -42,9 +43,14 @@ def bt_key_gen(
 ) -> RingGSWBTKey:
     """BinFHEScheme::KeyGen (binfhe-base-scheme.cpp:44-74)."""
     lp = params.lwe
+    from .ops.ntt import host_ntt_fwd
+
     skN = lwe.key_gen_N(sampler, lp)
+    pk = None
+    if keygen_mode == KEYGEN_MODE.PUB_ENCRYPT:
+        pk = lwe.pub_key_gen(sampler, lp, skN)
     ks = lwe.key_switch_gen(sampler, lp, lwe_sk, skN)
-    skN_eval = np.asarray(ntt_fwd(tables, jnp.asarray(skN, I32)))
+    skN_eval = host_ntt_fwd(tables, skN)
     if params.method == BINFHE_METHOD.GINX:
         bs = cggi.key_gen_acc(
             sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
@@ -56,7 +62,7 @@ def bt_key_gen(
             sampler, params.rgsw, tables, skN_eval, lwe_sk, lp.q_ks)
     else:
         raise NotImplementedError(params.method)
-    return RingGSWBTKey(bs=bs, ks=ks)
+    return RingGSWBTKey(bs=bs, ks=ks, pk=pk)
 
 
 # ------------------------------------------------------- test-vector build
@@ -246,8 +252,10 @@ def make_crs(sampler: Sampler, params: BinFHEParams, tables) -> np.ndarray:
     (mk-cryptoparameters.h:173-178)."""
     up = params.unienc
     dg = up.digits_g - 1
+    from .ops.ntt import host_ntt_fwd
+
     coeff = sampler.discrete_gaussian(up.sigma_e, (dg, up.N), q=up.Q)
-    return np.asarray(ntt_fwd(tables, jnp.asarray(coeff, I32)), np.int64)
+    return host_ntt_fwd(tables, coeff)
 
 
 def _mk_ring_secrets(sampler, params: BinFHEParams, tables, gaussian: bool):
@@ -272,8 +280,10 @@ def _mk_pkey(sampler, params: BinFHEParams, tables, crs_eval, f_evals):
     """Pkey[u][i] = e - CRS_i * f_u (binfhe-base-scheme.cpp:250-269)."""
     up = params.unienc
     dg = up.digits_g - 1
+    from .ops.ntt import host_ntt_fwd
+
     e = sampler.discrete_gaussian(up.sigma_e, (up.k, dg, up.N), q=up.Q)
-    e_eval = np.asarray(ntt_fwd(tables, jnp.asarray(e, I32)), np.int64)
+    e_eval = host_ntt_fwd(tables, e)
     pk = (e_eval - crs_eval[None] * f_evals[:, None, :]) % up.Q
     return pk
 

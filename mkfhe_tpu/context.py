@@ -52,6 +52,23 @@ class BinFHEContext:
             self.crs = boot.make_crs(self.sampler, self.params, self.tables)
         return self
 
+    def GenerateBinFHEContextCustom(
+        self,
+        ctx_params,
+        method: BINFHE_METHOD = BINFHE_METHOD.GINX,
+        paramset: BINFHE_PARAMSET | None = None,
+    ) -> "BinFHEContext":
+        """Fully-custom parameter overload (binfhecontext.h:94-118,
+        binfhecontext.cpp:196-216). ctx_params: a constants.ContextParams."""
+        from .params import build_params_from
+
+        self.params = build_params_from(ctx_params, method, paramset)
+        lp = self.params.lwe
+        self.tables = get_tables(lp.N, lp.Q)
+        if self.params.unienc is not None:
+            self.crs = boot.make_crs(self.sampler, self.params, self.tables)
+        return self
+
     # -------------------------------------------------------------- keygen
     def KeyGen(self) -> np.ndarray:
         """LWE secret key (binfhecontext.cpp:231)."""
@@ -105,8 +122,23 @@ class BinFHEContext:
         self.ct_nand = boot.ct_gate_gen(self.sampler, self.params, sk, gate)
         return self.ct_nand
 
+    def KeyGenPair(self):
+        """(pk, skN) pair at ring dimension (binfhecontext.cpp:251-254)."""
+        skN = lwe.key_gen_N(self.sampler, self.params.lwe)
+        pk = lwe.pub_key_gen(self.sampler, self.params.lwe, skN)
+        return pk, skN
+
+    def PubKeyGen(self, skN):
+        return lwe.pub_key_gen(self.sampler, self.params.lwe, skN)
+
     # ------------------------------------------------------------- enc/dec
-    def Encrypt(self, sk, m, p: int = 4, mod: int | None = None):
+    def Encrypt(self, sk, m, p: int = 4, mod: int | None = None,
+                output: str = "SMALL_DIM"):
+        if isinstance(sk, lwe.LWEPublicKey):
+            ct = lwe.encrypt_N(self.sampler, self.params.lwe, sk, m, p, mod)
+            if output == "SMALL_DIM":
+                return self.SwitchCTtoqn(ct)
+            return ct
         if isinstance(sk, mntru.MNTRUPrivateKey):
             return mntru.encrypt(
                 self.sampler, self.params.mntru, sk, m, p, mod)
@@ -115,6 +147,11 @@ class BinFHEContext:
             return mklwe.encrypt(
                 self.sampler, self.params.mklwe, sk, m, p, mod)
         return lwe.encrypt(self.sampler, self.params.lwe, sk, m, p, mod)
+
+    def SwitchCTtoqn(self, ct):
+        """(N, Q) -> (n, q) via the bootstrap switching key
+        (binfhecontext.cpp:312-325)."""
+        return lwe.switch_ct_to_qn(ct, self.bt_key.ks, self.params.lwe)
 
     def Decrypt(self, sk, ct, p: int = 4):
         if isinstance(ct, mntru.MNTRUCiphertext):
@@ -126,6 +163,13 @@ class BinFHEContext:
     def Decrypt2(self, sk, ct, p: int = 4):
         """Fresh-encryption decode for MNTRU (mntru-pke.cpp:208-253)."""
         return mntru.decrypt2(self.params.mntru, sk, ct, p)
+
+    def DecryptNAND(self, sk, ct, p: int = 4):
+        """NAND-output decode (mntru-pke.cpp:255-304 /
+        mklwe-pke.cpp:115-156)."""
+        if isinstance(ct, mntru.MNTRUCiphertext):
+            return mntru.decrypt_nand(self.params.mntru, sk, ct, p)
+        return mklwe.decrypt_nand(self.params.mklwe, sk, ct, p)
 
     # ---------------------------------------------------------------- eval
     def EvalBinGate(self, gate: BINGATE, ct1, ct2):

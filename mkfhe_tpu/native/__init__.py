@@ -91,3 +91,38 @@ def invert_ring_mod_q(f: np.ndarray, tables):
     if rc != 0:
         return None
     return f_inv, f_eval, f_inv_eval
+
+
+def ntt_fwd_batch(a: np.ndarray, tables) -> np.ndarray | None:
+    """Host-side batched forward NTT (keygen path; avoids device traffic).
+    a: [..., N] int64 -> same shape, or None if no native lib."""
+    lib = _load()
+    if not lib:
+        return None
+    N, Q = tables.N, tables.Q
+    shape = a.shape
+    a2 = np.ascontiguousarray(a.reshape(-1, N) % Q, dtype=np.int64)
+    out = np.empty_like(a2)
+    psi = np.ascontiguousarray(np.asarray(tables.psi_brv, np.int64))
+    P = ctypes.POINTER(ctypes.c_int64)
+    lib.ntt_forward_batch(
+        a2.ctypes.data_as(P), psi.ctypes.data_as(P), out.ctypes.data_as(P),
+        ctypes.c_long(a2.shape[0]), ctypes.c_int(N), ctypes.c_int64(Q))
+    return out.reshape(shape)
+
+
+def ntt_inv_batch(a: np.ndarray, tables) -> np.ndarray | None:
+    lib = _load()
+    if not lib:
+        return None
+    N, Q = tables.N, tables.Q
+    shape = a.shape
+    a2 = np.ascontiguousarray(a.reshape(-1, N) % Q, dtype=np.int64)
+    out = np.empty_like(a2)
+    ipsi = np.ascontiguousarray(np.asarray(tables.ipsi_brv, np.int64))
+    P = ctypes.POINTER(ctypes.c_int64)
+    lib.ntt_inverse_batch(
+        a2.ctypes.data_as(P), ipsi.ctypes.data_as(P),
+        ctypes.c_int64(tables.n_inv), out.ctypes.data_as(P),
+        ctypes.c_long(a2.shape[0]), ctypes.c_int(N), ctypes.c_int64(Q))
+    return out.reshape(shape)

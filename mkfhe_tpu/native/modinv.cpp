@@ -135,3 +135,23 @@ int invert_ring_mod_q(const i64* f, const i64* psi_brv, const i64* ipsi_brv,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Batched forward NTT for keygen-scale host work (rows of a [batch, N]
+// matrix transformed in place into out). Same tables/semantics as
+// ntt_forward above.
+void ntt_forward_batch(const i64* a, const i64* psi_brv, i64* out,
+                       long batch, int N, i64 Q) {
+    for (long r = 0; r < batch; ++r)
+        ntt_forward(a + (size_t)r * N, psi_brv, out + (size_t)r * N, N, Q);
+}
+
+void ntt_inverse_batch(const i64* a, const i64* ipsi_brv, i64 n_inv,
+                       i64* out, long batch, int N, i64 Q) {
+    for (long r = 0; r < batch; ++r)
+        ntt_inverse(a + (size_t)r * N, ipsi_brv, n_inv,
+                    out + (size_t)r * N, N, Q);
+}
+
+}  // extern "C"

@@ -383,3 +383,35 @@ def ntt_inv_mxu(tables: "NTTTables", mxu: MXUTables, a):
     q_bits = (tables.Q - 1).bit_length()
     return _mxu_transform(
         a, mxu.W_inv, mxu.a_bits, mxu.w_bits, q_bits, tables.Q)
+
+
+# ------------------------------------------------------------ host keygen
+
+def host_ntt_fwd(tables: NTTTables, a) -> np.ndarray:
+    """Batched forward NTT on the HOST (numpy in/out, int64).
+
+    Keygen transforms thousands of polynomials once; routing them through
+    the native C++ NTT keeps key generation off the device entirely (no
+    transfers, no compiles). Falls back to the jax path without the lib.
+    """
+    from .. import native
+
+    a = np.asarray(a, np.int64) % tables.Q
+    out = native.ntt_fwd_batch(a, tables)
+    if out is None:
+        out = np.asarray(
+            _ntt_fwd(jnp.asarray(a, I32), tables.psi_brv,
+                     tables.N, tables.Q), np.int64)
+    return out
+
+
+def host_ntt_inv(tables: NTTTables, a) -> np.ndarray:
+    from .. import native
+
+    a = np.asarray(a, np.int64) % tables.Q
+    out = native.ntt_inv_batch(a, tables)
+    if out is None:
+        out = np.asarray(
+            _ntt_inv(jnp.asarray(a, I32), tables.ipsi_brv,
+                     tables.N, tables.Q, tables.n_inv), np.int64)
+    return out

@@ -175,6 +175,15 @@ class BinFHEParams:
 def build_params(set_: BINFHE_PARAMSET, method: BINFHE_METHOD) -> BinFHEParams:
     """GenerateBinFHEContext(set, method) — binfhecontext.cpp:83-194."""
     p = PARAM_SETS[set_]
+    return build_params_from(p, method, set_)
+
+
+def build_params_from(
+    p, method: BINFHE_METHOD, set_: BINFHE_PARAMSET | None = None
+) -> BinFHEParams:
+    """Build from an explicit ContextParams row (the fully-custom context
+    overload, binfhecontext.h:94-118 / binfhecontext.cpp:196-216)."""
+    set_ = set_ or BINFHE_PARAMSET.TOY
     Q = derive_Q(p.number_bits, p.cycl_order)
     N = p.cycl_order // 2
     q_ks = Q if p.mod_ks == 0 else p.mod_ks

@@ -40,6 +40,13 @@ class LWESwitchingKey(NamedTuple):
     B: jnp.ndarray  # [N, Bks, d] int32 mod qKS
 
 
+class LWEPublicKey(NamedTuple):
+    """(A, v = A s + e) over Z_Q (PubKeyGen, lwe-pke.cpp:84-115)."""
+
+    A: np.ndarray   # [N, N] int64
+    v: np.ndarray   # [N] int64
+
+
 # ------------------------------------------------------------------- keygen
 
 def key_gen(sampler: Sampler, params: LWEParams) -> np.ndarray:
@@ -89,6 +96,65 @@ def decrypt(params: LWEParams, sk: np.ndarray, ct: LWECiphertext, p: int = 4):
     a = np.asarray(ct.a, np.int64)
     b = np.asarray(ct.b, np.int64)
     s = _switch_modulus_np(sk, params.q_ks, mod)
+    r = (b - a @ s) % mod
+    r = (r + mod // (p * 2)) % mod
+    return (p * r) // mod
+
+
+def pub_key_gen(
+    sampler: Sampler, params: LWEParams, skN: np.ndarray
+) -> LWEPublicKey:
+    """v = A s + e over Z_Q (PubKeyGen, lwe-pke.cpp:84-115)."""
+    N, Q = params.N, params.Q
+    A = sampler.uniform(Q, (N, N))
+    e = sampler.discrete_gaussian(params.std, N, q=Q)
+    s = np.asarray(skN, np.int64) % Q
+    v = (e + A @ s) % Q
+    return LWEPublicKey(A, v)
+
+
+def encrypt_N(
+    sampler: Sampler,
+    params: LWEParams,
+    pk: LWEPublicKey,
+    m,
+    p: int = 4,
+    mod: int | None = None,
+) -> LWECiphertext:
+    """Public-key encryption at dimension N (EncryptN, lwe-pke.cpp:151-187):
+    a = A^T s' + e', b = <v, s'> + e'' + (mod/p) m."""
+    mod = params.Q if mod is None else mod
+    m = np.asarray(m, np.int64)
+    shape = m.shape
+    N = params.N
+    v = _switch_modulus_np(pk.v, params.Q, mod)
+    sp = sampler.ternary(shape + (N,), q=mod)
+    ep = sampler.discrete_gaussian(params.std, shape + (N,), q=mod)
+    e = sampler.discrete_gaussian(params.std, shape, q=mod)
+    # a = sum_j A[j] * sp_j + ep  (column-wise accumulate, lwe-pke.cpp:174-177)
+    a = (ep + np.einsum("...j,jn->...n", sp, pk.A % mod)) % mod
+    b = ((m % p) * (mod // p) + e + (sp * v).sum(axis=-1)) % mod
+    return LWECiphertext(jnp.asarray(a, I32), jnp.asarray(b, I32))
+
+
+def switch_ct_to_qn(
+    ct: LWECiphertext, ksk: LWESwitchingKey, params: LWEParams
+) -> LWECiphertext:
+    """(N, Q) ciphertext -> (n, q): ModSwitch(qKS) -> KeySwitch ->
+    ModSwitch(q) (SwitchCTtoqn, lwe-pke.cpp:190-198)."""
+    ct_ms = mod_switch(ct, params.q_ks, params.Q)
+    ct_ks = key_switch(
+        ct_ms, ksk, params.q_ks, params.base_ks, params.digits_ks, params.n)
+    return mod_switch(ct_ks, params.q, params.q_ks)
+
+
+def decrypt_N(params: LWEParams, skN: np.ndarray, ct: LWECiphertext,
+              p: int = 4, mod: int | None = None):
+    """Decrypt a dimension-N ciphertext under skN (for PKE tests)."""
+    mod = params.Q if mod is None else mod
+    a = np.asarray(ct.a, np.int64)
+    b = np.asarray(ct.b, np.int64)
+    s = _switch_modulus_np(skN, params.Q, mod)
     r = (b - a @ s) % mod
     r = (r + mod // (p * 2)) % mod
     return (p * r) // mod

@@ -20,7 +20,7 @@ import json
 import numpy as np
 import jax.numpy as jnp
 
-from .schemes.lwe import LWECiphertext, LWESwitchingKey
+from .schemes.lwe import LWECiphertext, LWEPublicKey, LWESwitchingKey
 from .schemes.mklwe import MKLWECiphertext, MKLWESwitchingKey
 from .schemes.mntru import MNTRUCiphertext, MNTRUPrivateKey, MNTRUSwitchingKey
 from .acc.cggi import CGGIKey
@@ -38,7 +38,7 @@ def _register(cls):
 
 
 for _cls in (
-    LWECiphertext, LWESwitchingKey, MKLWECiphertext, MKLWESwitchingKey,
+    LWECiphertext, LWEPublicKey, LWESwitchingKey, MKLWECiphertext, MKLWESwitchingKey,
     MNTRUCiphertext, MNTRUPrivateKey, MNTRUSwitchingKey,
     CGGIKey, DMKey, XZDDFKey, UniEncKey,
     boot.RingGSWBTKey, boot.UniEncBTKey, boot.VectorNTRUBTKey,
@@ -60,11 +60,15 @@ def _flatten(obj, prefix, out):
     if isinstance(obj, (int, np.integer)):
         out[prefix] = np.asarray(int(obj))
         return {"kind": "scalar"}
+    if obj is None:
+        return {"kind": "none"}
     raise TypeError(f"cannot serialize {type(obj)}")
 
 
 def _unflatten(spec, prefix, arrays, device: bool):
     kind = spec["kind"]
+    if kind == "none":
+        return None
     if kind == "array":
         arr = arrays[prefix]
         return jnp.asarray(arr) if device else arr
