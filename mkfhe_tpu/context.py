@@ -78,11 +78,27 @@ class BinFHEContext:
     def BTKeyGen(
         self, sk: np.ndarray | None = None,
         keygen_mode: KEYGEN_MODE = KEYGEN_MODE.SYM_ENCRYPT,
+        time_optimization: bool = False,
     ) -> boot.RingGSWBTKey:
-        """Bootstrapping key generation (binfhecontext.cpp:475-490)."""
+        """Bootstrapping key generation (binfhecontext.cpp:375-398). With
+        time_optimization, keys for the EvalSign/EvalDecomp dynamic gadget
+        bases {2^14, 2^18, 2^27} are generated too (the reference's
+        GPowerMap / Change_BaseG machinery, binfhecontext.cpp:381-389)."""
+        import dataclasses
+
         sk = self.lwe_sk if sk is None else sk
         self.bt_key = boot.bt_key_gen(
             self.sampler, self.params, self.tables, sk, keygen_mode)
+        self.bt_key_map = {self.params.rgsw.base_g: self.bt_key}
+        if time_optimization:
+            for base in (1 << 14, 1 << 18, 1 << 27):
+                if base in self.bt_key_map:
+                    continue
+                p2 = dataclasses.replace(
+                    self.params,
+                    rgsw=dataclasses.replace(self.params.rgsw, base_g=base))
+                self.bt_key_map[base] = boot.bt_key_gen(
+                    self.sampler, p2, self.tables, sk, keygen_mode)
         return self.bt_key
 
     def NBTKeyGen(self, sk: np.ndarray | None = None) -> "boot.VectorNTRUBTKey":
@@ -221,6 +237,10 @@ class BinFHEContext:
     def EvalSign(self, ct, ct_mod: int):
         from . import extended
 
+        if len(getattr(self, "bt_key_map", {})) > 1:
+            return extended.eval_sign_dynamic(
+                self.tables, self.params, self.bt_key_map, ct,
+                self.GetBeta(), ct_mod)
         return extended.eval_sign(
             self.tables, self.params, self.bt_key, ct, self.GetBeta(), ct_mod)
 

@@ -190,3 +190,44 @@ def eval_decomp(tables, params, ek, ct, beta: int, ct_mod: int):
         mod = new_mod
     out.append(cttmp)
     return out
+
+
+def eval_sign_dynamic(tables, params, ek_map, ct, beta: int, ct_mod: int):
+    """EvalSign with the dynamic gadget-base schedule
+    (binfhe-base-scheme.cpp:869-939 + Change_BaseG): as the working modulus
+    shrinks, switch to a larger baseG key (fewer digits per bootstrap)."""
+    import dataclasses
+
+    lp = params.lwe
+    q = lp.q
+    mod = ct_mod
+    if mod <= q:
+        raise ValueError("EvalSign is only for large precision")
+
+    def params_for(base):
+        return dataclasses.replace(
+            params, rgsw=dataclasses.replace(params.rgsw, base_g=base))
+
+    cur_base = params.rgsw.base_g
+    cttmp = ct
+    while mod > q:
+        cttmp = eval_floor(
+            tables, params_for(cur_base), ek_map[cur_base], cttmp, beta, mod)
+        new_mod = (mod * 2 * beta) // q
+        cttmp = lwe.mod_switch(cttmp, new_mod, mod)
+        mod = new_mod
+        if len(ek_map) >= 3:
+            bin_log = max(mod.bit_length() - 1, 1)
+            base = 0
+            if bin_log <= 17:
+                base = 1 << 27
+            elif bin_log <= 26:
+                base = 1 << 18
+            if base and base in ek_map:
+                cur_base = base
+    cttmp = lwe.eval_add_const(cttmp, beta, mod)
+    f3 = lambda x, qq, QQ: (QQ // 4) if x < qq // 2 else (QQ - QQ // 4)
+    cttmp = bootstrap_func(
+        tables, params_for(cur_base), ek_map[cur_base], cttmp, f3,
+        fmod=q, ct_mod=mod)
+    return lwe.eval_sub_const(cttmp, q >> 2, q)
