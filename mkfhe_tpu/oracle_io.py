@@ -1,0 +1,88 @@
+"""Loader for reference-oracle test vectors (oracle/capture_mkntru.cpp).
+
+The capture harness dumps every key/ciphertext of a reference MKNTRU run as
+raw int64 files with polynomials in COEFFICIENT format. Loading converts to
+this framework's containers — NTT'ing with OUR tables, so all EVAL-domain
+math matches the reference as polynomial identities regardless of twiddle
+ordering — and the gate output must then be BIT-EXACT.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import boot
+from .acc.xzw import UniEncKey
+from .constants import BINFHE_METHOD
+from .ops.modmath import I32
+from .ops.ntt import host_ntt_fwd, make_ntt_tables
+from .params import (
+    BinFHEParams, LWEParams, MNTRUParams, UniEncParams, get_tables,
+)
+from .schemes.mntru import MNTRUCiphertext, MNTRUSwitchingKey
+
+
+def _read(path, name, shape):
+    a = np.fromfile(os.path.join(path, name + ".bin"), dtype=np.int64)
+    return a.reshape(shape)
+
+
+def load_mkntru_vectors(path: str):
+    """Returns (params, tables, ek: UniEncBTKey, cts: dict)."""
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+
+    k, n, N = meta["k"], meta["n"], meta["N"]
+    q, Q, qks = meta["q"], meta["Q"], meta["qks"]
+    dg = meta["digitsG"] - 1
+    dks = meta["dks"]
+
+    from .constants import BINFHE_PARAMSET, SecretKeyDist
+
+    lwe_p = LWEParams(n=n, N=N, q=q, Q=Q, q_ks=qks, std=0.75,
+                      base_ks=meta["bks"],
+                      key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    mntru_p = MNTRUParams(k=k, n=n, N=N, q=q, Q=Q, q_ks=qks, std=0.75,
+                          base_ks=meta["bks"],
+                          key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    unienc_p = UniEncParams(k=k, N=N, Q=Q, q=q, base_g=meta["baseG"],
+                            method=BINFHE_METHOD.MKNTRU,
+                            key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    params = BinFHEParams(
+        paramset=BINFHE_PARAMSET.STD100_MKNTRU, method=BINFHE_METHOD.MKNTRU,
+        lwe=lwe_p, mntru=mntru_p, unienc=unienc_p)
+    tables = get_tables(N, Q)
+
+    bs_coeff = _read(path, "bskey", (k, 2, n + 1, dg, 2, N))
+    bs_eval = host_ntt_fwd(tables, bs_coeff)
+    ek_arr = bs_eval[:, :, :n]                       # [k, 2, n, dg, 2, N]
+    ekstar = bs_eval[0, 0, n]                        # [dg, 2, N]
+
+    pkey = host_ntt_fwd(tables, _read(path, "pkey", (k, dg, N)))
+    fvec = _read(path, "fvec", (k, N))
+    f_eval = host_ntt_fwd(tables, fvec)
+
+    ksk = _read(path, "kskey", (k, N * dks, n))
+
+    bs = UniEncKey(
+        ek=jnp.asarray(ek_arr, I32),
+        ekstar=jnp.asarray(ekstar, I32),
+        pkey=jnp.asarray(pkey, I32))
+    ek = boot.UniEncBTKey(
+        bs=bs,
+        ks=MNTRUSwitchingKey(ksk=jnp.asarray(ksk, I32)),
+        f_eval=jnp.asarray(f_eval, I32),
+        f_coeff=jnp.asarray(fvec, I32))
+
+    cts = {
+        name: MNTRUCiphertext(
+            jnp.asarray(_read(path, name, (k, n)), I32))
+        for name in ("ct1", "ct2", "ctnand", "ctout")
+    }
+    sk_F = _read(path, "sk_F", (k, n, n))
+    sk_Finv = _read(path, "sk_Finv", (k, n, n))
+    return params, tables, ek, cts, (sk_F, sk_Finv)

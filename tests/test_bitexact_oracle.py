@@ -1,0 +1,47 @@
+"""Bit-exact comparison against reference-oracle test vectors.
+
+Generate vectors first (once):
+    bash oracle/build.sh
+    cd oracle && g++ -O2 -std=c++17 -isystem ntl_shim \
+        -I /root/reference/src/binfhe/include \
+        -I /root/reference/src/core/include \
+        -I /root/reference/third-party/cereal/include -I build/src/core \
+        capture_mkntru.cpp build/lib/libOPENFHEbinfhe_static.a \
+        build/lib/libOPENFHEcore_static.a -o capture_mkntru -pthread
+    mkdir -p vectors/std100_mkntru
+    ./capture_mkntru vectors/std100_mkntru STD100_MKNTRU
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std100_mkntru")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(VEC, "ctout.bin")),
+    reason="oracle vectors not generated (see module docstring)")
+def test_mkntru_gate_bit_exact():
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_mkntru_vectors
+    from mkfhe_tpu.schemes import mntru
+
+    params, tables, ek, cts, (sk_F, sk_Finv) = load_mkntru_vectors(VEC)
+
+    out = boot.eval_bin_gate_mntru(
+        tables, params, BINGATE.NAND, ek,
+        cts["ct1"], cts["ct2"], cts["ctnand"])
+
+    got = np.asarray(out.c, np.int64)
+    want = np.asarray(cts["ctout"].c, np.int64)
+    mismatches = int((got != want).sum())
+    assert mismatches == 0, f"{mismatches}/{want.size} coefficients differ"
+
+    # and the decrypted bit agrees (1 NAND 0 == 1)
+    sk = mntru.MNTRUPrivateKey(F=sk_F, F_inv=sk_Finv)
+    res = mntru.decrypt(params.mntru, sk, out)
+    assert int(res) == 1
