@@ -134,6 +134,40 @@ class NTTTables:
     exp_to_slot: jnp.ndarray  # [2N] inverse map (odd exponents -> slot)
 
 
+def _np_ntt_fwd_1(a: np.ndarray, psi_brv: np.ndarray, N: int, Q: int):
+    """Pure-numpy forward NTT of one vector (table construction only —
+    must not touch jax so it can run from inside a jit trace)."""
+    x = a.astype(np.int64).copy()
+    t = N
+    m = 1
+    while m < N:
+        t //= 2
+        x = x.reshape(m, 2, t)
+        w = psi_brv[m: 2 * m].reshape(m, 1)
+        u = x[:, 0, :]
+        v = x[:, 1, :] * w % Q
+        x = np.stack([(u + v) % Q, (u - v) % Q], axis=1)
+        m *= 2
+    return x.reshape(N)
+
+
+def _np_ntt_inv_1(a: np.ndarray, ipsi_brv: np.ndarray, N: int, Q: int,
+                  n_inv: int):
+    x = a.astype(np.int64).copy()
+    t = 1
+    m = N
+    while m > 1:
+        h = m // 2
+        x = x.reshape(h, 2, t)
+        w = ipsi_brv[h: 2 * h].reshape(h, 1)
+        u = x[:, 0, :]
+        v = x[:, 1, :]
+        x = np.stack([(u + v) % Q, (u - v) * w % Q], axis=1)
+        t *= 2
+        m = h
+    return x.reshape(N) * n_inv % Q
+
+
 def make_ntt_tables(N: int, Q: int) -> NTTTables:
     psi = root_of_unity(2 * N, Q)
     ipsi = pow(psi, Q - 2, Q)
@@ -154,9 +188,7 @@ def make_ntt_tables(N: int, Q: int) -> NTTTables:
     # pure gathers, independent of the butterfly ordering above.
     one_hot_x = np.zeros(N, dtype=np.int64)
     one_hot_x[1] = 1
-    img = np.asarray(
-        _ntt_fwd(jnp.asarray(one_hot_x, I32), jnp.asarray(psi_brv, I32), N, Q)
-    )
+    img = _np_ntt_fwd_1(one_hot_x, psi_brv, N, Q)
     dlog = {int(pows[i]): i for i in range(2 * N)}
     slot_exp = np.array([dlog[int(v)] for v in img], dtype=np.int64)
     exp_to_slot = np.zeros(2 * N, dtype=np.int64)
@@ -329,6 +361,34 @@ jax.tree_util.register_dataclass(
     meta_fields=("N", "Q", "a_bits", "w_bits"))
 
 _MXU_CACHE: dict = {}
+_HOST_TABLES: dict = {}
+
+
+class _HostTables:
+    """Numpy-only twiddle tables for host precompute — safe to build and
+    use from inside a jit trace (no jax arrays anywhere)."""
+
+    def __init__(self, N: int, Q: int):
+        self.N, self.Q = N, Q
+        psi = root_of_unity(2 * N, Q)
+        ipsi = pow(psi, Q - 2, Q)
+        pows = np.ones(2 * N, dtype=np.int64)
+        ipows = np.ones(N, dtype=np.int64)
+        for i in range(1, 2 * N):
+            pows[i] = pows[i - 1] * psi % Q
+        for i in range(1, N):
+            ipows[i] = ipows[i - 1] * ipsi % Q
+        brv = _bit_reverse_indices(N)
+        self.psi_brv = pows[:N][brv]
+        self.ipsi_brv = ipows[brv]
+        self.n_inv = pow(N, Q - 2, Q)
+
+
+def _host_tables(N: int, Q: int) -> "_HostTables":
+    key = (N, Q)
+    if key not in _HOST_TABLES:
+        _HOST_TABLES[key] = _HostTables(N, Q)
+    return _HOST_TABLES[key]
 
 
 def get_mxu_tables(tables: "NTTTables") -> MXUTables:
@@ -339,10 +399,10 @@ def get_mxu_tables(tables: "NTTTables") -> MXUTables:
     N, Q = tables.N, tables.Q
     q_bits = (Q - 1).bit_length()
     a_bits, w_bits = _limb_split_bits(N, q_bits)
-    eye = jnp.eye(N, dtype=I32)
-    Wf = np.asarray(_ntt_fwd(eye, tables.psi_brv, N, Q), np.int64)
-    Wi = np.asarray(
-        _ntt_inv(eye, tables.ipsi_brv, N, Q, tables.n_inv), np.int64)
+    host = _host_tables(N, Q)
+    eye_np = np.eye(N, dtype=np.int64)
+    Wf = host_ntt_fwd(host, eye_np)
+    Wi = host_ntt_inv(host, eye_np)
     nw = -(-q_bits // w_bits)
     mask = (1 << w_bits) - 1
     Wfl = np.stack([(Wf >> (l * w_bits)) & mask for l in range(nw)])
@@ -398,10 +458,12 @@ def host_ntt_fwd(tables: NTTTables, a) -> np.ndarray:
 
     a = np.asarray(a, np.int64) % tables.Q
     out = native.ntt_fwd_batch(a, tables)
-    if out is None:
-        out = np.asarray(
-            _ntt_fwd(jnp.asarray(a, I32), tables.psi_brv,
-                     tables.N, tables.Q), np.int64)
+    if out is None:   # no native toolchain: pure-numpy row loop
+        psi = np.asarray(tables.psi_brv, np.int64)
+        flat = a.reshape(-1, tables.N)
+        out = np.stack([
+            _np_ntt_fwd_1(row, psi, tables.N, tables.Q) for row in flat
+        ]).reshape(a.shape)
     return out
 
 
@@ -410,8 +472,11 @@ def host_ntt_inv(tables: NTTTables, a) -> np.ndarray:
 
     a = np.asarray(a, np.int64) % tables.Q
     out = native.ntt_inv_batch(a, tables)
-    if out is None:
-        out = np.asarray(
-            _ntt_inv(jnp.asarray(a, I32), tables.ipsi_brv,
-                     tables.N, tables.Q, tables.n_inv), np.int64)
+    if out is None:   # no native toolchain: pure-numpy row loop
+        ipsi = np.asarray(tables.ipsi_brv, np.int64)
+        flat = a.reshape(-1, tables.N)
+        out = np.stack([
+            _np_ntt_inv_1(row, ipsi, tables.N, tables.Q, tables.n_inv)
+            for row in flat
+        ]).reshape(a.shape)
     return out

@@ -86,3 +86,50 @@ def load_mkntru_vectors(path: str):
     sk_F = _read(path, "sk_F", (k, n, n))
     sk_Finv = _read(path, "sk_Finv", (k, n, n))
     return params, tables, ek, cts, (sk_F, sk_Finv)
+
+
+def load_ginx_vectors(path: str):
+    """Load capture_ginx dumps -> (params, tables, ek, cts dict)."""
+    from .acc.cggi import CGGIKey
+    from .constants import BINFHE_PARAMSET, SecretKeyDist
+    from .schemes.lwe import LWECiphertext, LWESwitchingKey
+    from .params import RGSWParams
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+
+    n, N = meta["n"], meta["N"]
+    q, Q, qks = meta["q"], meta["Q"], meta["qks"]
+    dg2 = (meta["digitsG"] - 1) * 2
+    dks, bks = meta["dks"], meta["bks"]
+
+    lwe_p = LWEParams(n=n, N=N, q=q, Q=Q, q_ks=qks, std=1.9, base_ks=bks,
+                      key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    rgsw_p = RGSWParams(N=N, Q=Q, q=q, base_g=meta["baseG"], base_r=32,
+                        method=BINFHE_METHOD.GINX, std=1.9,
+                        key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    params = BinFHEParams(
+        paramset=BINFHE_PARAMSET.STD128, method=BINFHE_METHOD.GINX,
+        lwe=lwe_p, rgsw=rgsw_p)
+    tables = get_tables(N, Q)
+
+    bs_coeff = _read(path, "bskey", (n, 2, dg2, 2, N))
+    bs = CGGIKey(jnp.asarray(host_ntt_fwd(tables, bs_coeff), I32))
+    ksk = LWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
+        B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
+    ek = boot.RingGSWBTKey(bs=bs, ks=ksk)
+
+    def load_ct(name):
+        v = _read(path, name, (n + 1,))
+        return LWECiphertext(
+            jnp.asarray(v[:n], I32), jnp.asarray(v[n], I32))
+
+    cts = {"ct1": load_ct("ct1"), "ct2": load_ct("ct2")}
+    for g in ("or", "and", "nor", "nand", "xorf", "xnorf"):
+        cts["ctout_" + g] = load_ct("ctout_" + g)
+    sk = _read(path, "sk", (n,))
+    return params, tables, ek, cts, sk

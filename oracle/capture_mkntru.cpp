@@ -48,6 +48,8 @@ int main(int argc, char** argv) {
     auto cc = BinFHEContext();
     if (set == "STD100_MKNTRU") {
         cc.GenerateBinFHEContext(STD100_MKNTRU, MKNTRU);
+    } else if (set == "STD100_MKNTRU_2") {          // k = 4 parties
+        cc.GenerateBinFHEContext(STD100_MKNTRU_2, MKNTRU);
     } else if (set == "STD128_MKNTRU") {
         cc.GenerateBinFHEContext(STD128_MKNTRU, MKNTRU);
     } else {  // TOY: small custom params, mirrors our TOY_MKNTRU set

@@ -45,3 +45,52 @@ def test_mkntru_gate_bit_exact():
     sk = mntru.MNTRUPrivateKey(F=sk_F, F_inv=sk_Finv)
     res = mntru.decrypt(params.mntru, sk, out)
     assert int(res) == 1
+
+
+GINX_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std128_ginx")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(GINX_VEC, "ctout_nand.bin")),
+    reason="GINX oracle vectors not generated")
+@pytest.mark.parametrize("gate", ["or", "and", "nor", "nand", "xorf", "xnorf"])
+def test_ginx_gates_bit_exact(gate):
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_ginx_vectors
+
+    gate_enum = {
+        "or": BINGATE.OR, "and": BINGATE.AND, "nor": BINGATE.NOR,
+        "nand": BINGATE.NAND, "xorf": BINGATE.XOR_FAST,
+        "xnorf": BINGATE.XNOR_FAST}[gate]
+
+    params, tables, ek, cts, sk = load_ginx_vectors(GINX_VEC)
+    out = boot.eval_bin_gate(
+        tables, params, gate_enum, ek, cts["ct1"], cts["ct2"])
+    want = cts["ctout_" + gate]
+    mism = int((np.asarray(out.a) != np.asarray(want.a)).sum())
+    mism += int(np.asarray(out.b) != np.asarray(want.b))
+    assert mism == 0, f"{gate}: {mism} components differ"
+
+
+K4_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std100_mkntru_k4")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(K4_VEC, "ctout.bin")),
+    reason="4-party oracle vectors not generated")
+def test_mkntru_4party_gate_bit_exact():
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_mkntru_vectors
+
+    params, tables, ek, cts, _sk = load_mkntru_vectors(K4_VEC)
+    out = boot.eval_bin_gate_mntru(
+        tables, params, BINGATE.NAND, ek,
+        cts["ct1"], cts["ct2"], cts["ctnand"])
+    got = np.asarray(out.c, np.int64)
+    want = np.asarray(cts["ctout"].c, np.int64)
+    mism = int((got != want).sum())
+    assert mism == 0, f"{mism}/{want.size} coefficients differ"
