@@ -133,3 +133,63 @@ def load_ginx_vectors(path: str):
         cts["ctout_" + g] = load_ct("ctout_" + g)
     sk = _read(path, "sk", (n,))
     return params, tables, ek, cts, sk
+
+
+def load_mklwe_vectors(path: str):
+    """Load capture_mklwe dumps -> (params, tables, ek, cts, sk)."""
+    from .constants import BINFHE_PARAMSET, SecretKeyDist
+    from .params import MKLWEParams
+    from .schemes.mklwe import MKLWECiphertext, MKLWESwitchingKey
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+
+    k, n, N = meta["k"], meta["n"], meta["N"]
+    q, Q, qks = meta["q"], meta["Q"], meta["qks"]
+    dg = meta["digitsG"] - 1
+    dks, bks = meta["dks"], meta["bks"]
+
+    lwe_p = LWEParams(n=n, N=N, q=q, Q=Q, q_ks=qks, std=1.9, base_ks=bks,
+                      key_dist=SecretKeyDist.BINARY)
+    mklwe_p = MKLWEParams(k=k, n=n, N=N, q=q, Q=Q, q_ks=qks, std=1.9,
+                          base_ks=bks, key_dist=SecretKeyDist.BINARY)
+    unienc_p = UniEncParams(k=k, N=N, Q=Q, q=q, base_g=meta["baseG"],
+                            method=BINFHE_METHOD.MKNTRU_LWE,
+                            key_dist=SecretKeyDist.BINARY)
+    params = BinFHEParams(
+        paramset=BINFHE_PARAMSET.STD100_MKNTRU_LWE,
+        method=BINFHE_METHOD.MKNTRU_LWE,
+        lwe=lwe_p, mklwe=mklwe_p, unienc=unienc_p)
+    tables = get_tables(N, Q)
+
+    bs_coeff = _read(path, "bskey", (k, n + 1, dg, 2, N))
+    bs_eval = host_ntt_fwd(tables, bs_coeff)
+    ek_arr = bs_eval[:, None, :n]                    # [k, 1, n, dg, 2, N]
+    ekstar = bs_eval[0, n]                           # [dg, 2, N]
+    pkey = host_ntt_fwd(tables, _read(path, "pkey", (k, dg, N)))
+    fvec = _read(path, "fvec", (k, N))
+
+    bs = UniEncKey(
+        ek=jnp.asarray(ek_arr, I32),
+        ekstar=jnp.asarray(ekstar, I32),
+        pkey=jnp.asarray(pkey, I32))
+    ks = MKLWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (k, N, bks, dks, n)), I32),
+        B=jnp.asarray(_read(path, "ksk_b", (k, N, bks, dks)), I32))
+    ek = boot.UniEncBTKey(
+        bs=bs, ks=ks,
+        f_eval=jnp.asarray(host_ntt_fwd(tables, fvec), I32),
+        f_coeff=jnp.asarray(fvec, I32))
+
+    def load_ct(name):
+        v = _read(path, name, (k * n + 1,))
+        return MKLWECiphertext(
+            jnp.asarray(v[:k * n].reshape(k, n), I32),
+            jnp.asarray(v[k * n], I32))
+
+    cts = {name: load_ct(name) for name in ("ct1", "ct2", "ctout")}
+    sk = _read(path, "sk", (k, n))
+    return params, tables, ek, cts, sk

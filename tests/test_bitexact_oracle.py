@@ -94,3 +94,23 @@ def test_mkntru_4party_gate_bit_exact():
     want = np.asarray(cts["ctout"].c, np.int64)
     mism = int((got != want).sum())
     assert mism == 0, f"{mism}/{want.size} coefficients differ"
+
+
+MKLWE_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std100_mklwe")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(MKLWE_VEC, "ctout.bin")),
+    reason="MKLWE oracle vectors not generated")
+def test_mklwe_gate_bit_exact():
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_mklwe_vectors
+
+    params, tables, ek, cts, sk = load_mklwe_vectors(MKLWE_VEC)
+    out = boot.eval_bin_gate_mklwe(
+        tables, params, BINGATE.NAND, ek, cts["ct1"], cts["ct2"])
+    mism = int((np.asarray(out.a) != np.asarray(cts["ctout"].a)).sum())
+    mism += int(np.asarray(out.b) != np.asarray(cts["ctout"].b))
+    assert mism == 0, f"{mism} components differ"

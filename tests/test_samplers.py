@@ -1,0 +1,65 @@
+"""Sampler statistics (UnitTestDistrGen.cpp analogue) and batch noise
+margins via utils.metrics."""
+
+import numpy as np
+
+from mkfhe_tpu.rng import Sampler
+
+
+def test_discrete_gaussian_moments():
+    s = Sampler(seed=100)
+    for std in (0.75, 1.9, 3.19):
+        x = s.discrete_gaussian(std, 200_000)
+        assert abs(x.mean()) < 0.05 * std + 0.02
+        assert abs(x.std() - std) < 0.05 * std + 0.02
+
+
+def test_discrete_gaussian_mod_lift():
+    s = Sampler(seed=101)
+    q = 1024
+    x = s.discrete_gaussian(1.9, 10_000, q=q)
+    assert x.min() >= 0 and x.max() < q
+    signed = np.where(x > q // 2, x - q, x)
+    assert abs(signed.mean()) < 0.1
+
+
+def test_ternary_uniform():
+    s = Sampler(seed=102)
+    x = s.ternary(90_000)
+    counts = [(x == v).sum() for v in (-1, 0, 1)]
+    for c in counts:
+        assert abs(c - 30_000) < 1500
+
+
+def test_binary():
+    s = Sampler(seed=103)
+    x = s.binary(50_000)
+    assert set(np.unique(x)) <= {0, 1}
+    assert abs(x.mean() - 0.5) < 0.02
+
+
+def test_uniform_range():
+    s = Sampler(seed=104)
+    q = 45181
+    x = s.uniform(q, 100_000)
+    assert x.min() >= 0 and x.max() < q
+    assert abs(x.mean() - q / 2) < q * 0.01
+
+
+def test_gate_output_noise_margin():
+    """Batch noise of bootstrapped outputs stays well inside q/8
+    (the WITH_NOISE_DEBUG check, structured)."""
+    from mkfhe_tpu import BinFHEContext
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+    from mkfhe_tpu.utils.metrics import noise_lwe, noise_stats
+
+    cc = BinFHEContext(seed=105)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET.TOY, BINFHE_METHOD.GINX)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = np.resize([0, 0, 1, 1], 16)
+    m2 = np.resize([0, 1, 0, 1], 16)
+    out = cc.EvalBinGate(BINGATE.AND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
+    noise = noise_lwe(cc.params.lwe, sk, out, m1 & m2)
+    stats = noise_stats(noise, cc.params.lwe.q)
+    assert stats["margin_frac"] < 1.0, stats
