@@ -332,12 +332,25 @@ limb tables via `with_mxu_tables(tables)`.
 """
 
 
+_MXU_MARGIN_BITS = 1   # accumulate below 2^(24 - margin); measured on v5e:
+                       # sums within ~2% of 2^24 lose exactness, one bit of
+                       # headroom restores it (see tpu_probe_mxu.py)
+
+
+def set_mxu_margin_bits(m: int) -> None:
+    global _MXU_MARGIN_BITS
+    _MXU_MARGIN_BITS = m
+    _MXU_CACHE.clear()
+
+
 def _limb_split_bits(N: int, q_bits: int) -> tuple[int, int]:
-    """(a_bits, w_bits) such that (2^a-1)(2^w-1)*N < 2^24 and both <= 8."""
+    """(a_bits, w_bits) such that (2^a-1)(2^w-1)*N stays under the f32-exact
+    accumulation bound (2^24 with safety margin) and both <= 8."""
+    bound = 1 << (24 - _MXU_MARGIN_BITS)
     best = None
     for a_bits in range(8, 0, -1):
         for w_bits in range(8, 0, -1):
-            if ((1 << a_bits) - 1) * ((1 << w_bits) - 1) * N < (1 << 24):
+            if ((1 << a_bits) - 1) * ((1 << w_bits) - 1) * N < bound:
                 passes = -(-q_bits // a_bits) * (-(-q_bits // w_bits))
                 if best is None or passes < best[0]:
                     best = (passes, a_bits, w_bits)
