@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.decompose import signed_digit_decompose_pair
 from ..ops.modmath import I32, I64, mod_add
-from ..ops.ntt import NTTTables, ntt_fwd, ntt_inv
+from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..ops.poly import monomial_minus_one_eval
 from ..params import RGSWParams
 from ..rng import Sampler
@@ -117,9 +117,9 @@ def eval_acc(
         ek, cp, cn = xs            # ek: [2, dg2, 2, N]; cp/cn: [B]
         ct0 = ntt_inv(tables, acc)                         # [B, 2, N] coeff
         dct = signed_digit_decompose_pair(
-            ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg
+            ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg, signed=True
         )                                                   # [dg2, B, N]
-        dct = ntt_fwd(tables, dct)
+        dct = ntt_fwd_digits(tables, dct, params.base_g)
         dct = jnp.moveaxis(dct, 0, 1)                       # [B, dg2, N]
 
         # tmp[t, c] = sum_d dct[d] * ek[t, d, c]   (exact: dg2*Q^2 < 2**63)

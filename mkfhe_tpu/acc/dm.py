@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..ops.decompose import signed_digit_decompose_pair
 from ..ops.modmath import I32, I64, mod_add
-from ..ops.ntt import NTTTables, ntt_fwd, ntt_inv
+from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..params import RGSWParams
 from ..rng import Sampler
 
@@ -133,8 +133,9 @@ def eval_acc(
         ek_row, d_t = xs             # ek_row: [baseR, dg2, 2, N]; d_t: [B]
         ct0 = ntt_inv(tables, acc)
         dct = signed_digit_decompose_pair(
-            ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg)   # [dg2, B, N]
-        dct = ntt_fwd(tables, dct)
+            ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg,
+            signed=True)                                        # [dg2, B, N]
+        dct = ntt_fwd_digits(tables, dct, params.base_g)
         dct = jnp.moveaxis(dct, 0, 1)                           # [B, dg2, N]
         ek = ek_row[d_t]                                        # [B, dg2, 2, N]
         prod = dct[:, :, None, :].astype(I64) * ek.astype(I64)

@@ -28,7 +28,7 @@ from ..ops.decompose import (
     signed_digit_decompose_pair,
 )
 from ..ops.modmath import I32, I64, mod_add
-from ..ops.ntt import NTTTables, ntt_fwd, ntt_inv
+from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..ops.poly import automorphism_eval
 from ..params import RGSWParams
 from ..rng import Sampler
@@ -140,8 +140,9 @@ def _ext_prod_rlwe(tables, params, ek, acc):
     dg = params.digits_g - 1
     ct = ntt_inv(tables, acc)
     dct = signed_digit_decompose_pair(
-        ct[:, 0, :], ct[:, 1, :], Q, params.base_g, dg)        # [dg2, B, N]
-    dct = ntt_fwd(tables, dct)
+        ct[:, 0, :], ct[:, 1, :], Q, params.base_g, dg,
+        signed=True)                                           # [dg2, B, N]
+    dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                              # [B, dg2, N]
     prod = dct[:, :, None, :].astype(I64) * ek.astype(I64)
     return ((prod.sum(axis=1)) % Q).astype(I32)                # [B, 2, N]
@@ -156,8 +157,9 @@ def _keyed_auto(tables, params, t_val, ak, acc):
     acc1 = automorphism_eval(tables, acc[:, 1, :], t_val)
     acc0 = automorphism_eval(tables, acc[:, 0, :], t_val)
     cta = ntt_inv(tables, acc0)
-    dct = signed_digit_decompose(cta, Q, params.base_g, dg)    # [dG, B, N]
-    dct = ntt_fwd(tables, dct)
+    dct = signed_digit_decompose(
+        cta, Q, params.base_g, dg, signed=True)                # [dG, B, N]
+    dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                              # [B, dG, N]
     prod = dct[:, :, None, :].astype(I64) * ak.astype(I64)
     out = (prod.sum(axis=1)) % Q                               # [B, 2, N]

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.decompose import signed_digit_decompose
 from ..ops.modmath import I32, I64
-from ..ops.ntt import NTTTables, ntt_fwd
+from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits
 from ..ops.poly import automorphism_eval
 from ..params import VNTRUParams
 from ..rng import Sampler
@@ -103,8 +103,9 @@ def _ext_prod(tables, params: VNTRUParams, ev, acc):
     from ..ops.ntt import ntt_inv
 
     ct = ntt_inv(tables, acc)
-    dct = signed_digit_decompose(ct, Q, params.base_g, dg)   # [dG, B, N]
-    dct = ntt_fwd(tables, dct)
+    dct = signed_digit_decompose(
+        ct, Q, params.base_g, dg, signed=True)               # [dG, B, N]
+    dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                            # [B, dG, N]
     if ev.ndim == 2:
         ev = ev[None]

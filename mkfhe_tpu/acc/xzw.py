@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.decompose import signed_digit_decompose
 from ..ops.modmath import I32, I64, mod_add, mod_sub
-from ..ops.ntt import NTTTables, ntt_fwd, ntt_inv
+from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..ops.poly import monomial_minus_one_eval
 from ..params import UniEncParams
 from ..rng import Sampler
@@ -168,8 +168,9 @@ def _hb_prod(tables, params: UniEncParams, d, f, uhot, pkey, acc):
     dg = params.digits_g - 1
 
     ct = ntt_inv(tables, acc)                               # [B, k, N] coeff
-    dct = signed_digit_decompose(ct, Q, params.base_g, dg)  # [dG, B, k, N]
-    dct = ntt_fwd(tables, dct)
+    dct = signed_digit_decompose(
+        ct, Q, params.base_g, dg, signed=True)              # [dG, B, k, N]
+    dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 2)                           # [B, k, dG, N]
 
     dct64 = dct.astype(I64)
@@ -179,8 +180,9 @@ def _hb_prod(tables, params: UniEncParams, d, f, uhot, pkey, acc):
     sum_v = v.sum(axis=1) % Q                               # [B, N]
 
     sv_coeff = ntt_inv(tables, sum_v.astype(I32))
-    dct2 = signed_digit_decompose(sv_coeff, Q, params.base_g, dg)
-    dct2 = ntt_fwd(tables, dct2)                            # [dG, B, N]
+    dct2 = signed_digit_decompose(
+        sv_coeff, Q, params.base_g, dg, signed=True)
+    dct2 = ntt_fwd_digits(tables, dct2, params.base_g)      # [dG, B, N]
     dct2 = jnp.moveaxis(dct2, 0, 1)                         # [B, dG, N]
 
     w = (dct2.astype(I64) * f.astype(I64)).sum(axis=1) % Q  # [B, N]

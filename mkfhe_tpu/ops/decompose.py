@@ -17,12 +17,15 @@ import jax.numpy as jnp
 from .modmath import I32, I64
 
 
-@partial(jax.jit, static_argnames=("q", "base", "digits"))
-def signed_digit_decompose(a, q: int, base: int, digits: int):
-    """a: int32 [..., N] in [0, q) -> int32 [digits, ..., N] in [0, q).
+@partial(jax.jit, static_argnames=("q", "base", "digits", "signed"))
+def signed_digit_decompose(a, q: int, base: int, digits: int,
+                           signed: bool = False):
+    """a: int32 [..., N] in [0, q) -> int32 [digits, ..., N].
 
     `digits` = digitsG - 1 (the reference always decomposes into
-    GetDigitsG()-1 digits, dropping the lowest).
+    GetDigitsG()-1 digits, dropping the lowest). With signed=True the
+    digits stay balanced in [-base/2, base/2) instead of being lifted to
+    [0, q) — the MXU NTT path exploits the small range.
     """
     half_base = base // 2
     mask = base - 1
@@ -41,16 +44,20 @@ def signed_digit_decompose(a, q: int, base: int, digits: int):
     outs = []
     for _ in range(digits):
         r, d0 = extract(d0)
-        outs.append(jnp.where(r < 0, r + q, r).astype(I32))
+        if signed:
+            outs.append(r.astype(I32))
+        else:
+            outs.append(jnp.where(r < 0, r + q, r).astype(I32))
     return jnp.stack(outs, axis=0)
 
 
-def signed_digit_decompose_pair(a0, a1, q: int, base: int, digits: int):
+def signed_digit_decompose_pair(a0, a1, q: int, base: int, digits: int,
+                                signed: bool = False):
     """Pair variant (RLWE ciphertext): returns [2*digits, ..., N] with the
     reference's interleaving — even rows decompose a0, odd rows a1
     (rgsw-acc.cpp:37-49)."""
-    d0 = signed_digit_decompose(a0, q, base, digits)
-    d1 = signed_digit_decompose(a1, q, base, digits)
+    d0 = signed_digit_decompose(a0, q, base, digits, signed)
+    d1 = signed_digit_decompose(a1, q, base, digits, signed)
     out = jnp.stack([d0, d1], axis=1)  # [digits, 2, ...]
     return out.reshape((2 * digits,) + d0.shape[1:])
 

@@ -367,10 +367,11 @@ class MXUTables:
     w_bits: int
     W_fwd: jnp.ndarray   # [n_wlimbs, N, N] bf16
     W_inv: jnp.ndarray   # [n_wlimbs, N, N] bf16
+    ones_fwd: jnp.ndarray  # [N] int64: NTT(1,...,1) (UNreduced integer sum)
 
 
 jax.tree_util.register_dataclass(
-    MXUTables, data_fields=("W_fwd", "W_inv"),
+    MXUTables, data_fields=("W_fwd", "W_inv", "ones_fwd"),
     meta_fields=("N", "Q", "a_bits", "w_bits"))
 
 _MXU_CACHE: dict = {}
@@ -420,10 +421,12 @@ def get_mxu_tables(tables: "NTTTables") -> MXUTables:
     mask = (1 << w_bits) - 1
     Wfl = np.stack([(Wf >> (l * w_bits)) & mask for l in range(nw)])
     Wil = np.stack([(Wi >> (l * w_bits)) & mask for l in range(nw)])
+    ones_fwd = Wf.sum(axis=0)   # integer column sums of the raw W matrix
     out = MXUTables(
         N=N, Q=Q, a_bits=a_bits, w_bits=w_bits,
         W_fwd=jnp.asarray(Wfl, jnp.bfloat16),
         W_inv=jnp.asarray(Wil, jnp.bfloat16),
+        ones_fwd=jnp.asarray(ones_fwd, I64),
     )
     _MXU_CACHE[key] = out
     return out
@@ -493,3 +496,45 @@ def host_ntt_inv(tables: NTTTables, a) -> np.ndarray:
             for row in flat
         ]).reshape(a.shape)
     return out
+
+
+def ntt_fwd_digits(tables: NTTTables, d_signed, base: int):
+    """Forward NTT of SIGNED balanced digits in [-base/2, base/2).
+
+    Butterfly path: lift to [0, Q) and transform as usual. MXU path:
+    transform the shifted non-negative digits (log2(base) bits instead of
+    log2(Q) — ~2.5x fewer limb passes) and subtract the constant-shift
+    image (base/2) * NTT(1...1), exactly in int64.
+    """
+    Q = tables.Q
+    half = base // 2
+    if _DEFAULT_IMPL != "mxu":
+        lifted = jnp.where(d_signed < 0, d_signed + Q, d_signed).astype(I32)
+        return _ntt_fwd(lifted, tables.psi_brv, tables.N, tables.Q)
+
+    mxu = get_mxu_tables(tables)
+    x = (d_signed + half).astype(I32)          # in [0, base)
+    q_bits = max(1, (base - 1).bit_length())
+    lead = x.shape[:-1]
+    N = x.shape[-1]
+    x2 = x.reshape(-1, N)
+    bound = 1 << (24 - _MXU_MARGIN_BITS)
+    # choose a_bits for the small input range against the same W limbs
+    a_bits = mxu.a_bits
+    for ab in range(8, 0, -1):
+        if ((1 << ab) - 1) * ((1 << mxu.w_bits) - 1) * N < bound:
+            a_bits = ab
+            break
+    na = -(-q_bits // a_bits)
+    amask = (1 << a_bits) - 1
+    acc = None
+    for la in range(na):
+        xl = ((x2 >> (la * a_bits)) & amask).astype(jnp.bfloat16)
+        for lw in range(mxu.W_fwd.shape[0]):
+            part = jnp.matmul(
+                xl, mxu.W_fwd[lw], preferred_element_type=jnp.float32)
+            part = part.astype(I64) << (la * a_bits + lw * mxu.w_bits)
+            acc = part if acc is None else acc + part
+    # subtract the shift: NTT(x - half*ones) = NTT(x) - half*NTT(ones)
+    acc = acc - half * mxu.ones_fwd.astype(I64)[None, :]
+    return ((acc % Q).astype(I32)).reshape(*lead, N)

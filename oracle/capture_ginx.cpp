@@ -2,7 +2,8 @@
 // RGSW bootstrapping key, switching key, and (ct1, ct2, ctout) for every
 // 2-input gate. Polynomials in COEFFICIENT format (see capture_mkntru.cpp).
 //
-// Usage: capture_ginx <outdir> [STD128|TOY]
+// Usage: capture_ginx <outdir> [STD128|STD128_AP] — the set picks the
+// method (GINX for STD128, AP for STD128_AP).
 
 #include "binfhecontext.h"
 
@@ -41,7 +42,8 @@ int main(int argc, char** argv) {
     std::string set = argc > 2 ? argv[2] : "TOY";
 
     auto cc = BinFHEContext();
-    cc.GenerateBinFHEContext(set == "STD128" ? STD128 : TOY, GINX);
+    bool ap = set == "STD128_AP";
+    cc.GenerateBinFHEContext(ap ? STD128_AP : STD128, ap ? AP : GINX);
 
     auto params = cc.GetParams();
     auto scheme = cc.GetBinFHEScheme();
@@ -77,8 +79,9 @@ int main(int argc, char** argv) {
     const auto& EK = cc.GetRefreshKey();     // RingGSWACCKey
     const auto& KS = cc.GetSwitchKey();      // LWESwitchingKey
 
-    // BSkey [n][2][dg2][2][N] COEFF  (branch order ek00, ek01)
-    {
+    // GINX BSkey [n][2][dg2][2][N]; AP BSkey [n][baseR][dR][dg2][2][N]
+    // (j==0 rows dumped as zeros), both COEFF
+    if (!ap) {
         std::vector<int64_t> v;
         const auto& ek = EK->GetElements();
         for (uint32_t i = 0; i < n; ++i)
@@ -88,6 +91,29 @@ int main(int argc, char** argv) {
                     for (uint32_t c = 0; c < 2; ++c)
                         push_poly_coeff(v, e->GetElements()[d][c]);
             }
+        dump("bskey", v);
+    } else {
+        const auto& rpp = params->GetRingGSWParams();
+        uint32_t baseR = rpp->GetBaseR();
+        uint32_t dR = (uint32_t)rpp->GetDigitsR().size();
+        {
+            std::ofstream meta(g_dir + "/meta_ap.txt");
+            meta << "baseR " << baseR << "\ndR " << dR << "\n";
+        }
+        std::vector<int64_t> v;
+        const auto& ek = EK->GetElements();
+        for (uint32_t i = 0; i < n; ++i)
+            for (uint32_t j = 0; j < baseR; ++j)
+                for (uint32_t t = 0; t < dR; ++t) {
+                    const auto& e = ek[i][j][t];
+                    if (!e) {
+                        v.insert(v.end(), (size_t)dg2 * 2 * N, 0);
+                        continue;
+                    }
+                    for (uint32_t d = 0; d < dg2; ++d)
+                        for (uint32_t c = 0; c < 2; ++c)
+                            push_poly_coeff(v, e->GetElements()[d][c]);
+                }
         dump("bskey", v);
     }
     // KSkey A [N][bks][dks][n], B [N][bks][dks]
