@@ -90,6 +90,8 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--single-key", action="store_true")
+    ap.add_argument("--sharded", action="store_true")
+    ap.add_argument("--party", type=int, default=2)
     ap.add_argument("--ntt", default="auto",
                     choices=["auto", "mxu", "butterfly"])
     args = ap.parse_args()
@@ -101,7 +103,12 @@ def main():
         impl = "butterfly" if jax.default_backend() == "cpu" else "mxu"
     _ntt.set_default_impl(impl)
 
-    if args.single_key:
+    if args.sharded:
+        value, correct, dt, n_dev, party = bench_sharded(
+            args.paramset, args.batch, args.reps, args.party)
+        metric = (f"sharded gate bootstraps/sec ({n_dev} devices, "
+                  f"dp x party={party}, {args.paramset})")
+    elif args.single_key:
         value, correct, dt = bench_ginx("STD128", args.batch, args.reps)
         metric = "single-key GINX NAND bootstraps/sec/chip (STD128)"
     else:
@@ -119,6 +126,49 @@ def main():
         "sec_per_batch": round(dt, 3),
         "correct": correct,
     }))
+
+
+
+
+def bench_sharded(paramset: str, batch: int, reps: int, party: int):
+    """Batched MK gates over a (dp, party) mesh of ALL local devices —
+    the BASELINE '64k concurrent bootstraps with ICI collectives' config,
+    scaled to the available chip count."""
+    import jax
+    from mkfhe_tpu import BinFHEContext
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+    from mkfhe_tpu.parallel import make_mesh, shard_mk_gate
+    from mkfhe_tpu.schemes import mntru as mntru_mod
+
+    cc = BinFHEContext(seed=11)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.MKNTRU)
+    sk = cc.MNTRU_KeyGen()
+    cc.MKBTKeyGen(sk)
+    cc.ctGateGen(sk, BINGATE.NAND)
+
+    n_dev = len(jax.devices())
+    party = party if n_dev % party == 0 else 1
+    mesh = make_mesh(n_dev, party=party)
+
+    m1 = np.resize(np.array([0, 0, 1, 1]), batch)
+    m2 = np.resize(np.array([0, 1, 0, 1]), batch)
+    ct1, ct2 = cc.Encrypt(sk, m1), cc.Encrypt(sk, m2)
+
+    with mesh:
+        fn, _ = shard_mk_gate(mesh, cc.tables, cc.params, cc.mk_bt_key)
+        out = fn(cc.ct_nand.c, ct1.c, ct2.c)
+        out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(cc.ct_nand.c, ct1.c, ct2.c)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / reps
+        out_np = np.asarray(out)
+
+    res = mntru_mod.decrypt(
+        cc.params.mntru, sk, mntru_mod.MNTRUCiphertext(out_np))
+    correct = bool(np.array_equal(res, 1 - (m1 & m2)))
+    return batch / dt, correct, dt, n_dev, party
 
 
 if __name__ == "__main__":

@@ -193,3 +193,55 @@ def load_mklwe_vectors(path: str):
     cts = {name: load_ct(name) for name in ("ct1", "ct2", "ctout")}
     sk = _read(path, "sk", (k, n))
     return params, tables, ek, cts, sk
+
+
+def load_ap_vectors(path: str):
+    """Load capture_ginx STD128_AP dumps -> (params, tables, ek, cts, sk)."""
+    from .acc.dm import DMKey
+    from .constants import BINFHE_PARAMSET, SecretKeyDist
+    from .schemes.lwe import LWECiphertext, LWESwitchingKey
+    from .params import RGSWParams
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+    with open(os.path.join(path, "meta_ap.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = int(val)
+
+    n, N = meta["n"], meta["N"]
+    q, Q, qks = meta["q"], meta["Q"], meta["qks"]
+    dg2 = (meta["digitsG"] - 1) * 2
+    dks, bks = meta["dks"], meta["bks"]
+    baseR, dR = meta["baseR"], meta["dR"]
+
+    lwe_p = LWEParams(n=n, N=N, q=q, Q=Q, q_ks=qks, std=1.9, base_ks=bks,
+                      key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    rgsw_p = RGSWParams(N=N, Q=Q, q=q, base_g=meta["baseG"], base_r=baseR,
+                        method=BINFHE_METHOD.AP, std=1.9,
+                        key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    params = BinFHEParams(
+        paramset=BINFHE_PARAMSET.STD128_AP, method=BINFHE_METHOD.AP,
+        lwe=lwe_p, rgsw=rgsw_p)
+    tables = get_tables(N, Q)
+
+    bs_coeff = _read(path, "bskey", (n, baseR, dR, dg2, 2, N))
+    bs = DMKey(jnp.asarray(host_ntt_fwd(tables, bs_coeff), I32))
+    ksk = LWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
+        B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
+    ek = boot.RingGSWBTKey(bs=bs, ks=ksk)
+
+    def load_ct(name):
+        v = _read(path, name, (n + 1,))
+        return LWECiphertext(
+            jnp.asarray(v[:n], I32), jnp.asarray(v[n], I32))
+
+    cts = {"ct1": load_ct("ct1"), "ct2": load_ct("ct2")}
+    for g in ("or", "and", "nor", "nand", "xorf", "xnorf"):
+        cts["ctout_" + g] = load_ct("ctout_" + g)
+    sk = _read(path, "sk", (n,))
+    return params, tables, ek, cts, sk

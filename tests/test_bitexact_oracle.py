@@ -114,3 +114,27 @@ def test_mklwe_gate_bit_exact():
     mism = int((np.asarray(out.a) != np.asarray(cts["ctout"].a)).sum())
     mism += int(np.asarray(out.b) != np.asarray(cts["ctout"].b))
     assert mism == 0, f"{mism} components differ"
+
+
+AP_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std128_ap")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(AP_VEC, "ctout_nand.bin")),
+    reason="AP oracle vectors not generated")
+@pytest.mark.parametrize("gate", ["and", "nand", "or"])
+def test_ap_gates_bit_exact(gate):
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_ap_vectors
+
+    gate_enum = {"or": BINGATE.OR, "and": BINGATE.AND,
+                 "nand": BINGATE.NAND}[gate]
+    params, tables, ek, cts, sk = load_ap_vectors(AP_VEC)
+    out = boot.eval_bin_gate(
+        tables, params, gate_enum, ek, cts["ct1"], cts["ct2"])
+    want = cts["ctout_" + gate]
+    mism = int((np.asarray(out.a) != np.asarray(want.a)).sum())
+    mism += int(np.asarray(out.b) != np.asarray(want.b))
+    assert mism == 0, f"{gate}: {mism} components differ"
