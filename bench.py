@@ -103,27 +103,40 @@ def main():
         impl = "butterfly" if jax.default_backend() == "cpu" else "mxu"
     _ntt.set_default_impl(impl)
 
-    if args.sharded:
-        value, correct, dt, n_dev, party = bench_sharded(
-            args.paramset, args.batch, args.reps, args.party)
-        metric = (f"sharded gate bootstraps/sec ({n_dev} devices, "
-                  f"dp x party={party}, {args.paramset})")
-    elif args.single_key:
-        value, correct, dt = bench_ginx("STD128", args.batch, args.reps)
-        metric = "single-key GINX NAND bootstraps/sec/chip (STD128)"
-    else:
-        value, correct, dt = bench_mkntru(
-            args.paramset, args.batch, args.reps)
-        metric = "gate bootstraps/sec/chip (NAND, 2-party MKNTRU, %s)" % (
-            args.paramset)
+    def run():
+        if args.sharded:
+            value, correct, dt, n_dev, party = bench_sharded(
+                args.paramset, args.batch, args.reps, args.party)
+            metric = (f"sharded gate bootstraps/sec ({n_dev} devices, "
+                      f"dp x party={party}, {args.paramset})")
+        elif args.single_key:
+            value, correct, dt = bench_ginx("STD128", args.batch, args.reps)
+            metric = "single-key GINX NAND bootstraps/sec/chip (STD128)"
+        else:
+            value, correct, dt = bench_mkntru(
+                args.paramset, args.batch, args.reps)
+            metric = ("gate bootstraps/sec/chip (NAND, 2-party MKNTRU, %s)"
+                      % args.paramset)
+        return metric, value, correct, dt
 
+    metric, value, correct, dt = run()
+    if not correct and impl == "mxu":
+        # exactness guard: fall back to the (always-exact) butterfly path
+        _ntt.set_default_impl("butterfly")
+        impl = "butterfly"
+        metric, value, correct, dt = run()
+
+    # vs_baseline: measured reference CPU = 435 ms/gate for the headline
+    # MKNTRU config (BASELINE.md 'Measured'); speedup vs that baseline.
+    ref_gates_per_sec = 1000.0 / 435.0
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
         "unit": "bootstraps/sec",
-        "vs_baseline": round(value / 10000.0, 6),
+        "vs_baseline": round(value / ref_gates_per_sec, 3),
         "batch": args.batch,
         "sec_per_batch": round(dt, 3),
+        "ntt": impl,
         "correct": correct,
     }))
 
