@@ -93,14 +93,14 @@ def main():
     ap.add_argument("--sharded", action="store_true")
     ap.add_argument("--party", type=int, default=2)
     ap.add_argument("--ntt", default="auto",
-                    choices=["auto", "mxu", "butterfly"])
+                    choices=["auto", "mxu_s8", "mxu", "butterfly"])
     args = ap.parse_args()
 
     import jax
     from mkfhe_tpu.ops import ntt as _ntt
     impl = args.ntt
     if impl == "auto":
-        impl = "butterfly" if jax.default_backend() == "cpu" else "mxu"
+        impl = "butterfly" if jax.default_backend() == "cpu" else "mxu_s8"
     _ntt.set_default_impl(impl)
 
     def run():
@@ -120,10 +120,10 @@ def main():
         return metric, value, correct, dt
 
     metric, value, correct, dt = run()
-    if not correct and impl == "mxu":
-        # exactness guard: fall back to the (always-exact) butterfly path
-        _ntt.set_default_impl("butterfly")
-        impl = "butterfly"
+    while not correct and impl != "butterfly":
+        # exactness guard: step down mxu_s8 -> mxu -> butterfly
+        impl = {"mxu_s8": "mxu", "mxu": "butterfly"}[impl]
+        _ntt.set_default_impl(impl)
         metric, value, correct, dt = run()
 
     # vs_baseline: measured reference CPU = 435 ms/gate for the headline

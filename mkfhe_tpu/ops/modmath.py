@@ -108,7 +108,7 @@ def exact_mod_matmul(a, b, q: int, a_bits: int, b_bits: int = None):
     for l in range(n_limbs):
         limb = ((b >> (l * limb_bits)) & mask).astype(jnp.bfloat16)
         part = jnp.matmul(a16, limb, preferred_element_type=jnp.float32)
-        part = part.astype(I64) << (l * limb_bits)
+        part = part.astype(I64) * pow(2, l * limb_bits, q)
         acc = part if acc is None else acc + part
     return (acc % q).astype(I32)
 

@@ -263,11 +263,11 @@ _DEFAULT_IMPL = "butterfly"
 
 
 def set_default_impl(impl: str) -> None:
-    """Select the transform backend: "butterfly" (VPU stages) or "mxu"
-    (exact bf16-limb matmul — faster on real TPUs, see MXUTables below).
-    Takes effect at trace time."""
+    """Select the transform backend: "butterfly" (VPU stages), "mxu"
+    (exact bf16-limb matmul) or "mxu_s8" (exact int8-limb matmul — the
+    fastest on real TPUs). Takes effect at trace time."""
     global _DEFAULT_IMPL
-    assert impl in ("butterfly", "mxu")
+    assert impl in ("butterfly", "mxu", "mxu_s8")
     _DEFAULT_IMPL = impl
 
 
@@ -275,6 +275,9 @@ def ntt_fwd(tables: NTTTables, a):
     """COEFF -> EVAL (bit-reversed), any leading batch dims."""
     if _DEFAULT_IMPL == "mxu":
         return ntt_fwd_mxu(tables, get_mxu_tables(tables), a)
+    if _DEFAULT_IMPL == "mxu_s8":
+        return _mxu_transform_s8(
+            a, get_mxu_tables(tables).W_fwd_s8, tables.Q)
     return _ntt_fwd(a, tables.psi_brv, tables.N, tables.Q)
 
 
@@ -282,6 +285,9 @@ def ntt_inv(tables: NTTTables, a):
     """EVAL (bit-reversed) -> COEFF, any leading batch dims."""
     if _DEFAULT_IMPL == "mxu":
         return ntt_inv_mxu(tables, get_mxu_tables(tables), a)
+    if _DEFAULT_IMPL == "mxu_s8":
+        return _mxu_transform_s8(
+            a, get_mxu_tables(tables).W_inv_s8, tables.Q)
     return _ntt_inv(a, tables.ipsi_brv, tables.N, tables.Q, tables.n_inv)
 
 
@@ -332,9 +338,11 @@ limb tables via `with_mxu_tables(tables)`.
 """
 
 
-_MXU_MARGIN_BITS = 1   # accumulate below 2^(24 - margin); measured on v5e:
-                       # sums within ~2% of 2^24 lose exactness, one bit of
-                       # headroom restores it (see tpu_probe_mxu.py)
+_MXU_MARGIN_BITS = 0   # worst-case accumulation bound 2^(24 - margin).
+                       # v5e MXU f32 accumulation is exact right up to 2^24
+                       # (tpu_probe_mxu.py); the earlier N=2048 failure was
+                       # an int64 overflow in limb recombination, fixed by
+                       # multiplying with (2^shift mod Q)
 
 
 def set_mxu_margin_bits(m: int) -> None:
@@ -359,7 +367,12 @@ def _limb_split_bits(N: int, q_bits: int) -> tuple[int, int]:
 
 @dataclass(frozen=True)
 class MXUTables:
-    """bf16 limb decompositions of the forward/inverse transform matrices."""
+    """Limb decompositions of the forward/inverse transform matrices.
+
+    bf16 limbs (a_bits, w_bits) accumulate exactly in f32 (< 2^24); int8
+    limbs of 7 bits accumulate exactly in s32 (< 2^31) and run the MXU at
+    2x the bf16 rate with fewer passes — the preferred TPU path.
+    """
 
     N: int
     Q: int
@@ -368,10 +381,13 @@ class MXUTables:
     W_fwd: jnp.ndarray   # [n_wlimbs, N, N] bf16
     W_inv: jnp.ndarray   # [n_wlimbs, N, N] bf16
     ones_fwd: jnp.ndarray  # [N] int64: NTT(1,...,1) (UNreduced integer sum)
+    W_fwd_s8: jnp.ndarray  # [n_s8limbs, N, N] int8 (7-bit limbs)
+    W_inv_s8: jnp.ndarray  # [n_s8limbs, N, N] int8
 
 
 jax.tree_util.register_dataclass(
-    MXUTables, data_fields=("W_fwd", "W_inv", "ones_fwd"),
+    MXUTables,
+    data_fields=("W_fwd", "W_inv", "ones_fwd", "W_fwd_s8", "W_inv_s8"),
     meta_fields=("N", "Q", "a_bits", "w_bits"))
 
 _MXU_CACHE: dict = {}
@@ -422,11 +438,16 @@ def get_mxu_tables(tables: "NTTTables") -> MXUTables:
     Wfl = np.stack([(Wf >> (l * w_bits)) & mask for l in range(nw)])
     Wil = np.stack([(Wi >> (l * w_bits)) & mask for l in range(nw)])
     ones_fwd = Wf.sum(axis=0)   # integer column sums of the raw W matrix
+    n8 = -(-q_bits // 7)
+    Wfl8 = np.stack([(Wf >> (l * 7)) & 127 for l in range(n8)])
+    Wil8 = np.stack([(Wi >> (l * 7)) & 127 for l in range(n8)])
     out = MXUTables(
         N=N, Q=Q, a_bits=a_bits, w_bits=w_bits,
         W_fwd=jnp.asarray(Wfl, jnp.bfloat16),
         W_inv=jnp.asarray(Wil, jnp.bfloat16),
         ones_fwd=jnp.asarray(ones_fwd, I64),
+        W_fwd_s8=jnp.asarray(Wfl8, jnp.int8),
+        W_inv_s8=jnp.asarray(Wil8, jnp.int8),
     )
     _MXU_CACHE[key] = out
     return out
@@ -444,7 +465,10 @@ def _mxu_transform(x, W_limbs, a_bits: int, w_bits: int, q_bits: int, Q: int):
         for lw in range(W_limbs.shape[0]):
             part = jnp.matmul(
                 xl, W_limbs[lw], preferred_element_type=jnp.float32)
-            part = part.astype(I64) << (la * a_bits + lw * w_bits)
+            # recombine via (2^shift mod Q): raw shifts overflow int64 at
+            # N = 2048 (sum can reach 2^65); part*smod < 2^51 stays exact
+            smod = pow(2, la * a_bits + lw * w_bits, Q)
+            part = part.astype(I64) * smod
             acc = part if acc is None else acc + part
     return ((acc % Q).astype(I32)).reshape(*lead, N)
 
@@ -508,6 +532,8 @@ def ntt_fwd_digits(tables: NTTTables, d_signed, base: int):
     """
     Q = tables.Q
     half = base // 2
+    if _DEFAULT_IMPL == "mxu_s8":
+        return _digits_fwd_s8(tables, d_signed, base)
     if _DEFAULT_IMPL != "mxu":
         lifted = jnp.where(d_signed < 0, d_signed + Q, d_signed).astype(I32)
         return _ntt_fwd(lifted, tables.psi_brv, tables.N, tables.Q)
@@ -533,8 +559,55 @@ def ntt_fwd_digits(tables: NTTTables, d_signed, base: int):
         for lw in range(mxu.W_fwd.shape[0]):
             part = jnp.matmul(
                 xl, mxu.W_fwd[lw], preferred_element_type=jnp.float32)
-            part = part.astype(I64) << (la * a_bits + lw * mxu.w_bits)
+            smod = pow(2, la * a_bits + lw * mxu.w_bits, Q)
+            part = part.astype(I64) * smod
             acc = part if acc is None else acc + part
-    # subtract the shift: NTT(x - half*ones) = NTT(x) - half*NTT(ones)
-    acc = acc - half * mxu.ones_fwd.astype(I64)[None, :]
+    # subtract the shift: NTT(x - half*ones) = NTT(x) - half*NTT(ones),
+    # with the ones image pre-reduced mod Q (raw column sums fit easily)
+    acc = acc - half * (mxu.ones_fwd.astype(I64) % Q)[None, :]
+    return ((acc % Q).astype(I32)).reshape(*lead, N)
+
+
+def _mxu_transform_s8(x, W_limbs_s8, Q: int):
+    """Exact transform via int8 MXU passes: 7-bit limbs on both sides,
+    s32 accumulation (worst case 127*127*N < 2^31 for N <= 2^16)."""
+    q_bits = (Q - 1).bit_length()
+    na = -(-q_bits // 7)
+    lead = x.shape[:-1]
+    N = x.shape[-1]
+    x2 = x.reshape(-1, N)
+    acc = None
+    for la in range(na):
+        xl = ((x2 >> (la * 7)) & 127).astype(jnp.int8)
+        for lw in range(W_limbs_s8.shape[0]):
+            part = jax.lax.dot_general(
+                xl, W_limbs_s8[lw], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)
+            smod = pow(2, (la + lw) * 7, Q)
+            part = part.astype(I64) * smod
+            acc = part if acc is None else acc + part
+    return ((acc % Q).astype(I32)).reshape(*lead, N)
+
+
+def _digits_fwd_s8(tables: NTTTables, d_signed, base: int):
+    """Signed-digit forward NTT on the int8 MXU path."""
+    Q = tables.Q
+    half = base // 2
+    mxu = get_mxu_tables(tables)
+    x = (d_signed + half).astype(I32)
+    q_bits = max(1, (base - 1).bit_length())
+    na = -(-q_bits // 7)
+    lead = x.shape[:-1]
+    N = x.shape[-1]
+    x2 = x.reshape(-1, N)
+    acc = None
+    for la in range(na):
+        xl = ((x2 >> (la * 7)) & 127).astype(jnp.int8)
+        for lw in range(mxu.W_fwd_s8.shape[0]):
+            part = jax.lax.dot_general(
+                xl, mxu.W_fwd_s8[lw], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)
+            part = part.astype(I64) * pow(2, (la + lw) * 7, Q)
+            acc = part if acc is None else acc + part
+    acc = acc - half * (mxu.ones_fwd.astype(I64) % Q)[None, :]
     return ((acc % Q).astype(I32)).reshape(*lead, N)

@@ -83,11 +83,26 @@ def main():
         print(f"mxu N={N} limbs=({mxu.a_bits},{mxu.w_bits}) exact="
               f"{np.array_equal(got, want)}", flush=True)
 
+    # 1b. s8 exactness
+    for N in (2048,):
+        Q = nttm.previous_prime(nttm.first_prime(27, 2 * N), 2 * N)
+        t = nttm.make_ntt_tables(N, Q)
+        rng = np.random.default_rng(3)
+        a_np = np.concatenate(
+            [np.full((1, N), Q - 1), rng.integers(0, Q, (7, N))])
+        a = jnp.asarray(a_np, jnp.int32)
+        nttm.set_default_impl("mxu_s8")
+        got = np.asarray(nttm.ntt_fwd(t, a), np.int64)
+        nttm.set_default_impl("butterfly")
+        print(f"mxu_s8 N={N} exact="
+              f"{np.array_equal(got, nttm.host_ntt_fwd(t, a_np))}",
+              flush=True)
+
     # 2. gate benches
-    for impl in ("mxu", "butterfly"):
+    for impl in ("mxu_s8", "mxu", "butterfly"):
         for batch in (32, 128):
             bench_gate("mkntru", "STD100_MKNTRU", impl, batch)
-    for impl in ("mxu", "butterfly"):
+    for impl in ("mxu_s8",):
         for batch in (128, 512):
             bench_gate("ginx", "STD128", impl, batch)
 
