@@ -37,6 +37,8 @@ from .constants import (  # noqa: E402
 
 try:  # context pulls in the full scheme stack; keep ops importable early
     from .context import BinFHEContext  # noqa: E402
+    from . import boot  # noqa: E402
+    from . import serial  # noqa: E402
 except ImportError:  # pragma: no cover - during partial builds only
     BinFHEContext = None
 
