@@ -94,6 +94,8 @@ def main():
     ap.add_argument("--party", type=int, default=2)
     ap.add_argument("--ntt", default="auto",
                     choices=["auto", "mxu_s8", "mxu", "butterfly"])
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace into DIR")
     args = ap.parse_args()
 
     import jax
@@ -119,7 +121,14 @@ def main():
                       % args.paramset)
         return metric, value, correct, dt
 
-    metric, value, correct, dt = run()
+    if args.profile:
+        import jax.profiler
+
+        with jax.profiler.trace(args.profile):
+            metric, value, correct, dt = run()
+        print(f"# trace written to {args.profile}", flush=True)
+    else:
+        metric, value, correct, dt = run()
     while not correct and impl != "butterfly":
         # exactness guard: step down mxu_s8 -> mxu -> butterfly
         impl = {"mxu_s8": "mxu", "mxu": "butterfly"}[impl]
