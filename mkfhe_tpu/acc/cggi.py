@@ -20,19 +20,23 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import reduce
+
 from ..ops.decompose import signed_digit_decompose_pair
-from ..ops.modmath import I32, I64, mod_add
+from ..ops.modmath import (
+    I32, I64, mod_add, mod_sub, shoup_mul, shoup_precompute)
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
-from ..ops.poly import monomial_minus_one_eval
+from ..ops.poly import monomial_minus_one_shoup
 from ..params import RGSWParams
 from ..rng import Sampler
 
 
 class CGGIKey(NamedTuple):
-    """BSkey: [n, 2, dG2, 2, N] int32 EVAL. Axis 1: ek00 (s==1) / ek01
-    (s==-1); axis 3: (a, b) components of each RGSW row."""
+    """BSkey: [n, 2, dG2, 2, N] int32 EVAL (+ uint32 Shoup companions).
+    Axis 1: ek00 (s==1) / ek01 (s==-1); axis 3: (a, b) components."""
 
     key: jnp.ndarray
+    key_sh: jnp.ndarray
 
 
 def key_gen_acc(
@@ -83,7 +87,10 @@ def key_gen_acc(
     E_eval = host_ntt_fwd(tables, E)
     sk_np = np.asarray(sk_N_eval, np.int64)
     B_eval = (E_eval + A_eval * sk_np) % Q
-    return CGGIKey(jnp.asarray(np.stack([A_msg_eval, B_eval], axis=3), I32))
+    key = np.stack([A_msg_eval, B_eval], axis=3)
+    return CGGIKey(
+        key=jnp.asarray(key, I32),
+        key_sh=jnp.asarray(shoup_precompute(key, Q)))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))
@@ -114,7 +121,7 @@ def eval_acc(
     c_neg = (2 * N - c_pos) % (2 * N)
 
     def step(acc, xs):
-        ek, cp, cn = xs            # ek: [2, dg2, 2, N]; cp/cn: [B]
+        ek, ek_sh, cp, cn = xs     # ek: [2, dg2, 2, N]; cp/cn: [B]
         ct0 = ntt_inv(tables, acc)                         # [B, 2, N] coeff
         dct = signed_digit_decompose_pair(
             ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg, signed=True
@@ -122,19 +129,22 @@ def eval_acc(
         dct = ntt_fwd_digits(tables, dct, params.base_g)
         dct = jnp.moveaxis(dct, 0, 1)                       # [B, dg2, N]
 
-        # tmp[t, c] = sum_d dct[d] * ek[t, d, c]   (exact: dg2*Q^2 < 2**63)
-        prod = dct[:, None, :, None, :].astype(I64) * ek[None, :, :, :, :].astype(I64)
-        tmp = (prod.sum(axis=2) % Q).astype(I32)            # [B, 2, 2, N]
+        # tmp[t, c] = sum_d dct[d] * ek[t, d, c] — Shoup products against
+        # the precomputed key, chained mod-adds over the dg2 digits
+        parts = shoup_mul(
+            dct[:, None, :, None, :], ek[None], ek_sh[None], Q)
+        tmp = reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                     [parts[:, :, d] for d in range(dg2)])  # [B, 2, 2, N]
 
-        mon_p = monomial_minus_one_eval(tables, cp)         # [B, N]
-        mon_n = monomial_minus_one_eval(tables, cn)
-        upd = (
-            tmp[:, 0].astype(I64) * mon_p[:, None, :].astype(I64)
-            + tmp[:, 1].astype(I64) * mon_n[:, None, :].astype(I64)
-        ) % Q
-        acc = mod_add(acc, upd.astype(I32), Q)
+        mon_p, mon_p_sh = monomial_minus_one_shoup(tables, cp)   # [B, N]
+        mon_n, mon_n_sh = monomial_minus_one_shoup(tables, cn)
+        upd = mod_add(
+            shoup_mul(tmp[:, 0], mon_p[:, None, :], mon_p_sh[:, None, :], Q),
+            shoup_mul(tmp[:, 1], mon_n[:, None, :], mon_n_sh[:, None, :], Q),
+            Q)
+        acc = mod_add(acc, upd, Q)
         return acc, None
 
-    xs = (key.key, c_pos.T, c_neg.T)
+    xs = (key.key, key.key_sh, c_pos.T, c_neg.T)
     acc, _ = jax.lax.scan(step, acc, xs)
     return acc.reshape(*lead, 2, N)

@@ -14,18 +14,22 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import reduce
+
 from ..ops.decompose import signed_digit_decompose_pair
-from ..ops.modmath import I32, I64, mod_add
+from ..ops.modmath import (
+    I32, I64, mod_add, shoup_mul, shoup_precompute)
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..params import RGSWParams
 from ..rng import Sampler
 
 
 class DMKey(NamedTuple):
-    """[n, baseR, dR, dG2, 2, N] int32 EVAL. Index j == 0 rows are unused
-    (EvalAcc skips zero digits) and stored as zeros."""
+    """[n, baseR, dR, dG2, 2, N] int32 EVAL (+ uint32 Shoup companions).
+    Index j == 0 rows are unused (EvalAcc skips zero digits), zeros."""
 
     key: jnp.ndarray
+    key_sh: jnp.ndarray
 
 
 def key_gen_acc(
@@ -91,7 +95,8 @@ def key_gen_acc(
     key = key.reshape(n, baseR, dR, dg2, 2, N)
     # zero out j == 0 rows (never used; keeps gather semantics clean)
     key[:, 0] = 0
-    return DMKey(jnp.asarray(key, I32))
+    return DMKey(jnp.asarray(key, I32),
+                 jnp.asarray(shoup_precompute(key, Q)))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))
@@ -128,9 +133,11 @@ def eval_acc(
     # step order (i, t) with t innermost -> [n*dR, baseR, dg2, 2, N]
     key_flat = key.key.transpose(0, 2, 1, 3, 4, 5).reshape(
         n * dR, baseR, dg2, 2, N)
+    key_sh_flat = key.key_sh.transpose(0, 2, 1, 3, 4, 5).reshape(
+        n * dR, baseR, dg2, 2, N)
 
     def step(acc, xs):
-        ek_row, d_t = xs             # ek_row: [baseR, dg2, 2, N]; d_t: [B]
+        ek_row, ek_sh_row, d_t = xs  # ek_row: [baseR, dg2, 2, N]; d_t: [B]
         ct0 = ntt_inv(tables, acc)
         dct = signed_digit_decompose_pair(
             ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg,
@@ -138,10 +145,12 @@ def eval_acc(
         dct = ntt_fwd_digits(tables, dct, params.base_g)
         dct = jnp.moveaxis(dct, 0, 1)                           # [B, dg2, N]
         ek = ek_row[d_t]                                        # [B, dg2, 2, N]
-        prod = dct[:, :, None, :].astype(I64) * ek.astype(I64)
-        new = ((prod.sum(axis=1)) % Q).astype(I32)              # [B, 2, N]
+        ek_sh = ek_sh_row[d_t]
+        parts = shoup_mul(dct[:, :, None, :], ek, ek_sh, Q)
+        new = reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                     [parts[:, d] for d in range(dg2)])         # [B, 2, N]
         acc = jnp.where((d_t == 0)[:, None, None], acc, new)
         return acc, None
 
-    acc, _ = jax.lax.scan(step, acc, (key_flat, dig_steps))
+    acc, _ = jax.lax.scan(step, acc, (key_flat, key_sh_flat, dig_steps))
     return acc.reshape(*lead, 2, N)

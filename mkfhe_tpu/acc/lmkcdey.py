@@ -23,11 +23,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import reduce
+
 from ..ops.decompose import (
     signed_digit_decompose,
     signed_digit_decompose_pair,
 )
-from ..ops.modmath import I32, I64, mod_add
+from ..ops.modmath import (
+    I32, I64, mod_add, shoup_mul, shoup_precompute)
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..ops.poly import automorphism_eval
 from ..params import RGSWParams
@@ -39,6 +42,8 @@ class LMKCDEYKey(NamedTuple):
     auto: jnp.ndarray    # [w+1, dG, 2, N] index 0: key for 2N-5; 1..w: 5^i
     pow5: jnp.ndarray    # [w+1] int32: 5^i mod 2N (pow5[0] = 2N-5)
     log_gen: jnp.ndarray  # [2N] int32 discrete-log table (see key_gen_acc)
+    evk_sh: jnp.ndarray   # uint32 Shoup companions
+    auto_sh: jnp.ndarray
 
 
 def key_gen_acc(
@@ -130,28 +135,32 @@ def key_gen_acc(
         auto=jnp.asarray(ak, I32),
         pow5=jnp.asarray(ts, I32),
         log_gen=jnp.asarray(log_gen, I32),
+        evk_sh=jnp.asarray(shoup_precompute(evk, Q)),
+        auto_sh=jnp.asarray(shoup_precompute(ak, Q)),
     )
 
 
-def _ext_prod_rlwe(tables, params, ek, acc):
+def _ext_prod_rlwe(tables, params, ek, ek_sh, acc):
     """acc <- <g^-1(acc), ek> (AddToAccLMKCDEY, :231-256).
-    ek: [B, dg2, 2, N]; acc: [B, 2, N] EVAL. REPLACES acc."""
+    ek: [B, dg2, 2, N]; acc: [B, 2, N] EVAL. REPLACES acc (Shoup)."""
     Q = params.Q
     dg = params.digits_g - 1
+    dg2 = 2 * dg
     ct = ntt_inv(tables, acc)
     dct = signed_digit_decompose_pair(
         ct[:, 0, :], ct[:, 1, :], Q, params.base_g, dg,
         signed=True)                                           # [dg2, B, N]
     dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                              # [B, dg2, N]
-    prod = dct[:, :, None, :].astype(I64) * ek.astype(I64)
-    return ((prod.sum(axis=1)) % Q).astype(I32)                # [B, 2, N]
+    parts = shoup_mul(dct[:, :, None, :], ek, ek_sh, Q)
+    return reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                  [parts[:, d] for d in range(dg2)])           # [B, 2, N]
 
 
-def _keyed_auto(tables, params, t_val, ak, acc):
+def _keyed_auto(tables, params, t_val, ak, ak_sh, acc):
     """Keyed automorphism (Automorphism, :259-290): acc0' = <g^-1(auto
     acc0), ak[:,0]>, acc1' = auto(acc1) + <g^-1(auto acc0), ak[:,1]>.
-    t_val: [B]; ak: [B, dG, 2, N]; acc: [B, 2, N]."""
+    t_val: [B]; ak: [B, dG, 2, N]; acc: [B, 2, N] (Shoup products)."""
     Q = params.Q
     dg = params.digits_g - 1
     acc1 = automorphism_eval(tables, acc[:, 1, :], t_val)
@@ -161,10 +170,10 @@ def _keyed_auto(tables, params, t_val, ak, acc):
         cta, Q, params.base_g, dg, signed=True)                # [dG, B, N]
     dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                              # [B, dG, N]
-    prod = dct[:, :, None, :].astype(I64) * ak.astype(I64)
-    out = (prod.sum(axis=1)) % Q                               # [B, 2, N]
-    out = out.at[:, 1, :].add(acc1.astype(I64)) % Q
-    return out.astype(I32)
+    parts = shoup_mul(dct[:, :, None, :], ak, ak_sh, Q)
+    out = reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                 [parts[:, d] for d in range(dg)])             # [B, 2, N]
+    return out.at[:, 1, :].set(mod_add(out[:, 1, :], acc1, Q))
 
 
 def _build_tape(key: LMKCDEYKey, a2, n: int, N: int, w: int):
@@ -264,17 +273,20 @@ def eval_acc(
         amt, kind, jv = xs          # each [B]
         # 1. movement: keyed auto by 5^amt (amt in [0, w]; 0 = skip)
         t_val = key.pow5.astype(I64)[amt]                      # [B]
-        ak = key.auto[jnp.maximum(amt, 1)]                     # [B, dG, 2, N]
-        moved = _keyed_auto(tables, params, t_val, ak, acc)
+        idx = jnp.maximum(amt, 1)
+        moved = _keyed_auto(
+            tables, params, t_val, key.auto[idx], key.auto_sh[idx], acc)
         acc = jnp.where((amt > 0)[:, None, None], moved, acc)
         # 2. action
-        ek = key.evk[jv]                                       # [B, dg2, 2, N]
-        proc = _ext_prod_rlwe(tables, params, ek, acc)
+        proc = _ext_prod_rlwe(
+            tables, params, key.evk[jv], key.evk_sh[jv], acc)
         acc = jnp.where((kind == 1)[:, None, None], proc, acc)
         ak0 = jnp.broadcast_to(key.auto[0][None], (bsz,) + key.auto[0].shape)
+        ak0_sh = jnp.broadcast_to(
+            key.auto_sh[0][None], (bsz,) + key.auto_sh[0].shape)
         k0 = _keyed_auto(
             tables, params,
-            jnp.full((bsz,), M - 5, I64), ak0, acc)
+            jnp.full((bsz,), M - 5, I64), ak0, ak0_sh, acc)
         acc = jnp.where((kind == 2)[:, None, None], k0, acc)
         return acc, None
 

@@ -20,8 +20,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import reduce
+
 from ..ops.decompose import signed_digit_decompose
-from ..ops.modmath import I32, I64
+from ..ops.modmath import (
+    I32, I64, mod_add, shoup_mul, shoup_precompute)
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits
 from ..ops.poly import automorphism_eval
 from ..params import VNTRUParams
@@ -31,6 +34,8 @@ from ..rng import Sampler
 class XZDDFKey(NamedTuple):
     evk: jnp.ndarray   # [n+1, dG, N] int32 EVAL  (evk_i = Enc(X^{-s_i}))
     auto: jnp.ndarray  # [q-1, dG, N] int32 EVAL  (KeyGenAuto)
+    evk_sh: jnp.ndarray   # uint32 Shoup companions
+    auto_sh: jnp.ndarray
 
 
 def key_gen_acc(
@@ -92,12 +97,15 @@ def key_gen_acc(
     ak = (ga_eval + f_auto[:, None, :] * gvals[None, :, None]) % Q
     ak = ak * inv % Q
 
-    return XZDDFKey(evk=jnp.asarray(evk, I32), auto=jnp.asarray(ak, I32))
+    return XZDDFKey(
+        evk=jnp.asarray(evk, I32), auto=jnp.asarray(ak, I32),
+        evk_sh=jnp.asarray(shoup_precompute(evk, Q)),
+        auto_sh=jnp.asarray(shoup_precompute(ak, Q)))
 
 
-def _ext_prod(tables, params: VNTRUParams, ev, acc):
+def _ext_prod(tables, params: VNTRUParams, ev, ev_sh, acc):
     """acc <- <g^-1(acc), ev> (AddToAccXZDDF, vntru-acc-xzddf.cpp:165-186).
-    ev: [B, dG, N] or [dG, N]; acc: [B, N] EVAL."""
+    ev: [B, dG, N] or [dG, N]; acc: [B, N] EVAL. Shoup products."""
     Q = params.Q
     dg = params.digits_g - 1
     from ..ops.ntt import ntt_inv
@@ -109,8 +117,10 @@ def _ext_prod(tables, params: VNTRUParams, ev, acc):
     dct = jnp.moveaxis(dct, 0, 1)                            # [B, dG, N]
     if ev.ndim == 2:
         ev = ev[None]
-    out = (dct.astype(I64) * ev.astype(I64)).sum(axis=1) % Q
-    return out.astype(I32)
+        ev_sh = ev_sh[None]
+    parts = shoup_mul(dct, ev, ev_sh, Q)
+    return reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                  [parts[:, d] for d in range(dg)])
 
 
 def _newton_inv_mod_2N(w, twoN: int):
@@ -149,15 +159,17 @@ def eval_acc(
     t_steps = jnp.moveaxis(t, 1, 0)                           # [n, B]
 
     def step(acc, xs):
-        ev, t_i = xs                   # ev: [dG, N]; t_i: [B]
-        acc = _ext_prod(tables, params, ev, acc)
+        ev, ev_sh, t_i = xs            # ev: [dG, N]; t_i: [B]
+        acc = _ext_prod(tables, params, ev, ev_sh, acc)
         ak_idx = jnp.clip((t_i - 3) // 2, 0, key.auto.shape[0] - 1)
         ak = key.auto[ak_idx]                                 # [B, dG, N]
+        ak_sh = key.auto_sh[ak_idx]
         acc_auto = automorphism_eval(tables, acc, t_i)
-        acc_auto = _ext_prod(tables, params, ak, acc_auto)
+        acc_auto = _ext_prod(tables, params, ak, ak_sh, acc_auto)
         acc = jnp.where((t_i == 1)[:, None], acc, acc_auto)
         return acc, None
 
-    acc, _ = jax.lax.scan(step, acc, (key.evk[:n], t_steps))
-    acc = _ext_prod(tables, params, key.evk[n], acc)
+    acc, _ = jax.lax.scan(
+        step, acc, (key.evk[:n], key.evk_sh[:n], t_steps))
+    acc = _ext_prod(tables, params, key.evk[n], key.evk_sh[n], acc)
     return acc.reshape(*lead, N)

@@ -26,10 +26,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import reduce
+
 from ..ops.decompose import signed_digit_decompose
-from ..ops.modmath import I32, I64, mod_add, mod_sub
+from ..ops.modmath import (
+    I32, I64, mod_add, mod_sub, shoup_mul, shoup_precompute)
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
-from ..ops.poly import monomial_minus_one_eval
+from ..ops.poly import monomial_minus_one_eval, monomial_minus_one_shoup
 from ..params import UniEncParams
 from ..rng import Sampler
 
@@ -38,6 +41,8 @@ class UniEncKey(NamedTuple):
     ek: jnp.ndarray      # [k, nb, n, dG, 2, N] int32 EVAL
     ekstar: jnp.ndarray  # [dG, 2, N] int32 EVAL
     pkey: jnp.ndarray    # [k, dG, N] int32 EVAL (Pkey[u][i] = e - CRS_i*f_u)
+    ek_sh: jnp.ndarray   # uint32 Shoup companions of ek
+    pkey_sh: jnp.ndarray  # uint32 Shoup companions of pkey
 
 
 # ------------------------------------------------------------------- keygen
@@ -144,10 +149,13 @@ def key_gen_acc(
         np.ones(1, dtype=np.int64), np.ones(1, dtype=bool))
     ekstar = np.stack([ds[0], fs[0]], axis=1)     # [dG, 2, N]
 
+    Q = params.Q
     return UniEncKey(
         ek=jnp.asarray(ek, I32),
         ekstar=jnp.asarray(ekstar, I32),
         pkey=jnp.asarray(pkey, I32),
+        ek_sh=jnp.asarray(shoup_precompute(ek, Q)),
+        pkey_sh=jnp.asarray(shoup_precompute(np.asarray(pkey), Q)),
     )
 
 
@@ -242,32 +250,69 @@ def eval_acc(
                    uhot_steps[0][None].repeat(bsz, 0), key.pkey, acc)
 
     # ------------------------------------------------- steps 1 .. k*n - 1
+    # Per-step arithmetic is Shoup throughout: every multiply has one
+    # precomputed operand (evk/Pkey rows, or gathered monomial constants).
+    # The reference's d = ev1 - ev2*X^{-c} materialization
+    # (mk-acc-xzw.cpp:322-325) is distributed through the contraction:
+    # <g^-1, d> = <g^-1, ev1> - <g^-1, ev2> - <g^-1, ev2> * (X^{-c} - 1).
     ek_flat = key.ek.transpose(0, 2, 1, 3, 4, 5).reshape(
         k * n, (1 if binary else 2), dg, 2, N)
+    ek_sh_flat = key.ek_sh.transpose(0, 2, 1, 3, 4, 5).reshape(
+        k * n, (1 if binary else 2), dg, 2, N)
+
+    def _contract(dctn, keys, keys_sh):
+        """dctn [..., dG, N] x keys [dG, N] -> [..., N] (Shoup + mod-add)."""
+        parts = shoup_mul(dctn, keys, keys_sh, Q)
+        return reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                      [parts[..., d, :] for d in range(dg)])
 
     def step(acc, xs):
-        ek_t, c_t, uhot_t = xs        # ek_t: [nb, dG, 2, N]; c_t: [B]
-        mon_p = monomial_minus_one_eval(tables, c_t)         # [B, N]
-        if binary:
-            # d,f = evk rows unchanged (mk-acc-xzw_B.cpp:314-317)
-            df = jnp.broadcast_to(ek_t[0][None], (bsz, dg, 2, N))
-        else:
-            # d = ev1 - ev2 * X^{-c} = ev1 - ev2*(X^{-c}-1) - ev2
-            mon_n = monomial_minus_one_eval(tables, (2 * N - c_t) % (2 * N))
-            ev1, ev2 = ek_t[0], ek_t[1]
-            t = (ev2[None].astype(I64)
-                 * mon_n[:, None, None, :].astype(I64)) % Q
-            df = (ev1[None].astype(I64) - t - ev2[None].astype(I64)) % Q
-        df = df.astype(I32)
+        ek_t, ek_sh_t, c_t, uhot_t = xs   # ek_t: [nb, dG, 2, N]; c_t: [B]
+        mon_p, mon_p_sh = monomial_minus_one_shoup(tables, c_t)   # [B, N]
+        if not binary:
+            mon_n, mon_n_sh = monomial_minus_one_shoup(
+                tables, (2 * N - c_t) % (2 * N))
 
         # acctemp = acc * (X^c - 1)
-        acctemp = _mm(acc, mon_p[:, None, :], Q)
+        acctemp = shoup_mul(acc, mon_p[:, None, :], mon_p_sh[:, None, :], Q)
+
+        # HbProd (mk-acc-xzw.cpp:231-290), Shoup form
+        ct = ntt_inv(tables, acctemp)                        # [B, k, N]
+        dct = signed_digit_decompose(
+            ct, Q, params.base_g, dg, signed=True)           # [dG, B, k, N]
+        dct = ntt_fwd_digits(tables, dct, params.base_g)
+        dctn = jnp.moveaxis(dct, 0, 2)                       # [B, k, dG, N]
+
+        uj = _contract(dctn, ek_t[0, :, 0], ek_sh_t[0, :, 0])
+        if not binary:
+            s2 = _contract(dctn, ek_t[1, :, 0], ek_sh_t[1, :, 0])
+            uj = mod_sub(mod_sub(uj, s2, Q),
+                         shoup_mul(s2, mon_n[:, None, :],
+                                   mon_n_sh[:, None, :], Q), Q)
+
+        v = _contract(dctn, key.pkey[None], key.pkey_sh[None])  # [B, k, N]
+        sum_v = reduce(lambda a_, b_: mod_add(a_, b_, Q),
+                       [v[:, u] for u in range(k)])             # [B, N]
+
+        sv_coeff = ntt_inv(tables, sum_v)
+        dct2 = signed_digit_decompose(
+            sv_coeff, Q, params.base_g, dg, signed=True)
+        dct2 = ntt_fwd_digits(tables, dct2, params.base_g)
+        dct2 = jnp.moveaxis(dct2, 0, 1)                      # [B, dG, N]
+
+        w = _contract(dct2, ek_t[0, :, 1], ek_sh_t[0, :, 1])  # [B, N]
+        if not binary:
+            f2 = _contract(dct2, ek_t[1, :, 1], ek_sh_t[1, :, 1])
+            w = mod_sub(mod_sub(w, f2, Q),
+                        shoup_mul(f2, mon_n, mon_n_sh, Q), Q)
+
         uhot = jnp.broadcast_to(uhot_t[None], (bsz, k))
-        acctemp = _hb_prod(tables, params, df[:, :, 0], df[:, :, 1],
-                           uhot, key.pkey, acctemp)
+        acctemp = jnp.where(
+            (uhot == 1)[:, :, None],
+            mod_add(uj, w[:, None, :], Q), uj)
         acc = mod_add(acc, acctemp, Q)
         return acc, None
 
-    xs = (ek_flat[1:], c_steps[1:], uhot_steps[1:])
+    xs = (ek_flat[1:], ek_sh_flat[1:], c_steps[1:], uhot_steps[1:])
     acc, _ = jax.lax.scan(step, acc, xs)
     return acc.reshape(*lead, k, N)

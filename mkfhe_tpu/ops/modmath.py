@@ -127,3 +127,31 @@ def barrett_mul(a, b, q: int, mu: int | None = None):
     r = jnp.where(r >= q, r - q, r)
     r = jnp.where(r >= q, r - q, r)
     return r.astype(I32)
+
+
+# ------------------------------------------------------------------- Shoup
+
+def shoup_precompute(y, q: int):
+    """floor(y * 2^32 / q) as uint32 for Shoup multiplication. y: any
+    int array with values in [0, q). Host-side (numpy in, numpy out)."""
+    import numpy as np
+
+    return ((np.asarray(y, np.uint64) << np.uint64(32)) //
+            np.uint64(q)).astype(np.uint32)
+
+
+def shoup_mul(x, y, y_sh, q: int):
+    """(x * y) mod q with precomputed y_sh = floor(y*2^32/q) — ONE u64
+    multiply (for mulhi) + two u32 multiplies instead of an emulated s64
+    mul + s64 constant-division chain. Exact for x, y in [0, q), q < 2^31.
+
+    r = x*y - floor(x*y_sh / 2^32)*q  lies in [0, 2q) (Shoup's bound), so
+    the low 32 bits of the wrapped u32 arithmetic recover it exactly.
+    """
+    xu64 = x.astype(jnp.uint64)
+    q_est = ((xu64 * y_sh.astype(jnp.uint64)) >> jnp.uint64(32)).astype(
+        jnp.uint32)
+    lo = (x.astype(jnp.uint32) * y.astype(jnp.uint32)
+          - q_est * jnp.uint32(q))
+    r = lo.astype(I32)           # < 2q < 2^29: sign-safe
+    return jnp.where(r >= q, r - q, r)

@@ -112,7 +112,7 @@ def _bit_reverse_indices(n: int) -> np.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=("psi_brv", "ipsi_brv", "brv", "psi_pows", "slot_exp",
-                 "exp_to_slot"),
+                 "exp_to_slot", "pm1", "pm1_sh"),
     meta_fields=("N", "Q", "n_inv"),
 )
 @dataclass(frozen=True)
@@ -132,6 +132,8 @@ class NTTTables:
     psi_pows: jnp.ndarray  # [2N] psi^i — monomial evaluation helper
     slot_exp: jnp.ndarray  # [N] e_j: EVAL slot j holds p(psi^{e_j})
     exp_to_slot: jnp.ndarray  # [2N] inverse map (odd exponents -> slot)
+    pm1: jnp.ndarray       # [2N] (psi^i - 1) mod Q — X^c-1 gather values
+    pm1_sh: jnp.ndarray    # [2N] uint32 Shoup companions of pm1
 
 
 def _np_ntt_fwd_1(a: np.ndarray, psi_brv: np.ndarray, N: int, Q: int):
@@ -194,6 +196,9 @@ def make_ntt_tables(N: int, Q: int) -> NTTTables:
     exp_to_slot = np.zeros(2 * N, dtype=np.int64)
     exp_to_slot[slot_exp] = np.arange(N)
 
+    from .modmath import shoup_precompute
+
+    pm1 = (pows - 1) % Q
     return NTTTables(
         N=N,
         Q=Q,
@@ -204,6 +209,8 @@ def make_ntt_tables(N: int, Q: int) -> NTTTables:
         psi_pows=jnp.asarray(pows, I32),
         slot_exp=jnp.asarray(slot_exp, jnp.int32),
         exp_to_slot=jnp.asarray(exp_to_slot, jnp.int32),
+        pm1=jnp.asarray(pm1, I32),
+        pm1_sh=jnp.asarray(shoup_precompute(pm1, Q)),
     )
 
 

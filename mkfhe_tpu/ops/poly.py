@@ -74,3 +74,13 @@ def automorphism_coeff(tables: NTTTables, a, t):
     src = jnp.where(neg, ji - N, ji)
     vals = jnp.take(a, src, axis=-1)
     return jnp.where(neg, mod_sub(jnp.zeros((), I32), vals, tables.Q), vals)
+
+
+def monomial_minus_one_shoup(tables: NTTTables, c):
+    """(X^c - 1) EVAL values together with their uint32 Shoup companions —
+    both pure gathers from precomputed tables, enabling shoup_mul against
+    dynamic operands on the hot path. c: [...] -> ([..., N], [..., N])."""
+    twoN = 2 * tables.N
+    c = jnp.asarray(c, jnp.int64)[..., None]
+    idx = (tables.slot_exp.astype(jnp.int64) * c) % twoN
+    return tables.pm1[idx], tables.pm1_sh[idx]

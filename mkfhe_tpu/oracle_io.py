@@ -68,10 +68,14 @@ def load_mkntru_vectors(path: str):
 
     ksk = _read(path, "kskey", (k, N * dks, n))
 
+    from .ops.modmath import shoup_precompute
+
     bs = UniEncKey(
         ek=jnp.asarray(ek_arr, I32),
         ekstar=jnp.asarray(ekstar, I32),
-        pkey=jnp.asarray(pkey, I32))
+        pkey=jnp.asarray(pkey, I32),
+        ek_sh=jnp.asarray(shoup_precompute(ek_arr, Q)),
+        pkey_sh=jnp.asarray(shoup_precompute(pkey, Q)))
     ek = boot.UniEncBTKey(
         bs=bs,
         ks=MNTRUSwitchingKey(ksk=jnp.asarray(ksk, I32)),
@@ -116,8 +120,12 @@ def load_ginx_vectors(path: str):
         lwe=lwe_p, rgsw=rgsw_p)
     tables = get_tables(N, Q)
 
+    from .ops.modmath import shoup_precompute
+
     bs_coeff = _read(path, "bskey", (n, 2, dg2, 2, N))
-    bs = CGGIKey(jnp.asarray(host_ntt_fwd(tables, bs_coeff), I32))
+    bs_eval = host_ntt_fwd(tables, bs_coeff)
+    bs = CGGIKey(jnp.asarray(bs_eval, I32),
+                 jnp.asarray(shoup_precompute(bs_eval, Q)))
     ksk = LWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
@@ -172,10 +180,14 @@ def load_mklwe_vectors(path: str):
     pkey = host_ntt_fwd(tables, _read(path, "pkey", (k, dg, N)))
     fvec = _read(path, "fvec", (k, N))
 
+    from .ops.modmath import shoup_precompute
+
     bs = UniEncKey(
         ek=jnp.asarray(ek_arr, I32),
         ekstar=jnp.asarray(ekstar, I32),
-        pkey=jnp.asarray(pkey, I32))
+        pkey=jnp.asarray(pkey, I32),
+        ek_sh=jnp.asarray(shoup_precompute(ek_arr, Q)),
+        pkey_sh=jnp.asarray(shoup_precompute(pkey, Q)))
     ks = MKLWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (k, N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (k, N, bks, dks)), I32))
@@ -228,8 +240,12 @@ def load_ap_vectors(path: str):
         lwe=lwe_p, rgsw=rgsw_p)
     tables = get_tables(N, Q)
 
+    from .ops.modmath import shoup_precompute
+
     bs_coeff = _read(path, "bskey", (n, baseR, dR, dg2, 2, N))
-    bs = DMKey(jnp.asarray(host_ntt_fwd(tables, bs_coeff), I32))
+    bs_eval = host_ntt_fwd(tables, bs_coeff)
+    bs = DMKey(jnp.asarray(bs_eval, I32),
+               jnp.asarray(shoup_precompute(bs_eval, Q)))
     ksk = LWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
