@@ -63,3 +63,24 @@ def test_gate_output_noise_margin():
     noise = noise_lwe(cc.params.lwe, sk, out, m1 & m2)
     stats = noise_stats(noise, cc.params.lwe.q)
     assert stats["margin_frac"] < 1.0, stats
+
+
+def test_mk_gate_noise_margin():
+    """MK NAND output noise stays inside the q/8 margin (structured
+    WITH_NOISE_DEBUG for the MNTRU path, mntru-pke.cpp:239-252)."""
+    from mkfhe_tpu import BinFHEContext
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+    from mkfhe_tpu.utils.metrics import noise_mntru, noise_stats
+
+    cc = BinFHEContext(seed=106)
+    cc.GenerateBinFHEContext(
+        BINFHE_PARAMSET.TOY_MKNTRU, BINFHE_METHOD.MKNTRU)
+    sk = cc.MNTRU_KeyGen()
+    cc.MKBTKeyGen(sk)
+    cc.ctGateGen(sk, BINGATE.NAND)
+    m1 = np.resize([0, 0, 1, 1], 8)
+    m2 = np.resize([0, 1, 0, 1], 8)
+    out = cc.EvalBinGate(BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
+    noise = noise_mntru(cc.params.mntru, sk, out, 1 - (m1 & m2))
+    stats = noise_stats(noise, cc.params.mntru.q)
+    assert stats["margin_frac"] < 1.0, stats
