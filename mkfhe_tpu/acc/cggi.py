@@ -129,12 +129,11 @@ def eval_acc(
         dct = ntt_fwd_digits(tables, dct, params.base_g)
         dct = jnp.moveaxis(dct, 0, 1)                       # [B, dg2, N]
 
-        # tmp[t, c] = sum_d dct[d] * ek[t, d, c] — Shoup products against
-        # the precomputed key, chained mod-adds over the dg2 digits
-        parts = shoup_mul(
-            dct[:, None, :, None, :], ek[None], ek_sh[None], Q)
-        tmp = reduce(lambda a_, b_: mod_add(a_, b_, Q),
-                     [parts[:, :, d] for d in range(dg2)])  # [B, 2, 2, N]
+        # tmp[t, c] = sum_d dct[d] * ek[t, d, c] — s64 products with one
+        # amortized reduction (faster than per-product Shoup, see xzw.py)
+        prod = (dct[:, None, :, None, :].astype(I64)
+                * ek[None].astype(I64)).sum(axis=2)
+        tmp = (prod % Q).astype(I32)                        # [B, 2, 2, N]
 
         mon_p, mon_p_sh = monomial_minus_one_shoup(tables, cp)   # [B, N]
         mon_n, mon_n_sh = monomial_minus_one_shoup(tables, cn)

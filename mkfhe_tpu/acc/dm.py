@@ -145,10 +145,8 @@ def eval_acc(
         dct = ntt_fwd_digits(tables, dct, params.base_g)
         dct = jnp.moveaxis(dct, 0, 1)                           # [B, dg2, N]
         ek = ek_row[d_t]                                        # [B, dg2, 2, N]
-        ek_sh = ek_sh_row[d_t]
-        parts = shoup_mul(dct[:, :, None, :], ek, ek_sh, Q)
-        new = reduce(lambda a_, b_: mod_add(a_, b_, Q),
-                     [parts[:, d] for d in range(dg2)])         # [B, 2, N]
+        prod = (dct[:, :, None, :].astype(I64) * ek.astype(I64)).sum(axis=1)
+        new = (prod % Q).astype(I32)                            # [B, 2, N]
         acc = jnp.where((d_t == 0)[:, None, None], acc, new)
         return acc, None
 

@@ -152,9 +152,9 @@ def _ext_prod_rlwe(tables, params, ek, ek_sh, acc):
         signed=True)                                           # [dg2, B, N]
     dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                              # [B, dg2, N]
-    parts = shoup_mul(dct[:, :, None, :], ek, ek_sh, Q)
-    return reduce(lambda a_, b_: mod_add(a_, b_, Q),
-                  [parts[:, d] for d in range(dg2)])           # [B, 2, N]
+    del ek_sh
+    prod = (dct[:, :, None, :].astype(I64) * ek.astype(I64)).sum(axis=1)
+    return (prod % Q).astype(I32)                              # [B, 2, N]
 
 
 def _keyed_auto(tables, params, t_val, ak, ak_sh, acc):
@@ -170,9 +170,9 @@ def _keyed_auto(tables, params, t_val, ak, ak_sh, acc):
         cta, Q, params.base_g, dg, signed=True)                # [dG, B, N]
     dct = ntt_fwd_digits(tables, dct, params.base_g)
     dct = jnp.moveaxis(dct, 0, 1)                              # [B, dG, N]
-    parts = shoup_mul(dct[:, :, None, :], ak, ak_sh, Q)
-    out = reduce(lambda a_, b_: mod_add(a_, b_, Q),
-                 [parts[:, d] for d in range(dg)])             # [B, 2, N]
+    del ak_sh
+    prod = (dct[:, :, None, :].astype(I64) * ak.astype(I64)).sum(axis=1)
+    out = (prod % Q).astype(I32)                               # [B, 2, N]
     return out.at[:, 1, :].set(mod_add(out[:, 1, :], acc1, Q))
 
 

@@ -117,10 +117,9 @@ def _ext_prod(tables, params: VNTRUParams, ev, ev_sh, acc):
     dct = jnp.moveaxis(dct, 0, 1)                            # [B, dG, N]
     if ev.ndim == 2:
         ev = ev[None]
-        ev_sh = ev_sh[None]
-    parts = shoup_mul(dct, ev, ev_sh, Q)
-    return reduce(lambda a_, b_: mod_add(a_, b_, Q),
-                  [parts[:, d] for d in range(dg)])
+    del ev_sh
+    prod = (dct.astype(I64) * ev.astype(I64)).sum(axis=1)
+    return (prod % Q).astype(I32)
 
 
 def _newton_inv_mod_2N(w, twoN: int):

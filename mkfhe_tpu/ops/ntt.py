@@ -275,6 +275,10 @@ def set_default_impl(impl: str) -> None:
     fastest on real TPUs). Takes effect at trace time."""
     global _DEFAULT_IMPL
     assert impl in ("butterfly", "mxu", "mxu_s8")
+    if impl != _DEFAULT_IMPL:
+        # the impl is read at trace time but is NOT part of any jit cache
+        # key — drop compiled functions so the switch actually applies
+        jax.clear_caches()
     _DEFAULT_IMPL = impl
 
 
@@ -448,13 +452,18 @@ def get_mxu_tables(tables: "NTTTables") -> MXUTables:
     n8 = -(-q_bits // 7)
     Wfl8 = np.stack([(Wf >> (l * 7)) & 127 for l in range(n8)])
     Wil8 = np.stack([(Wi >> (l * 7)) & 127 for l in range(n8)])
+    # NUMPY-backed (ml_dtypes bf16): the cache may be populated from inside
+    # a jit trace, where jnp.asarray would capture leaking tracers; numpy
+    # constants embed cleanly into any later trace
+    import ml_dtypes
+
     out = MXUTables(
         N=N, Q=Q, a_bits=a_bits, w_bits=w_bits,
-        W_fwd=jnp.asarray(Wfl, jnp.bfloat16),
-        W_inv=jnp.asarray(Wil, jnp.bfloat16),
-        ones_fwd=jnp.asarray(ones_fwd, I64),
-        W_fwd_s8=jnp.asarray(Wfl8, jnp.int8),
-        W_inv_s8=jnp.asarray(Wil8, jnp.int8),
+        W_fwd=np.asarray(Wfl, dtype=ml_dtypes.bfloat16),
+        W_inv=np.asarray(Wil, dtype=ml_dtypes.bfloat16),
+        ones_fwd=np.asarray(ones_fwd, np.int64),
+        W_fwd_s8=np.asarray(Wfl8, np.int8),
+        W_inv_s8=np.asarray(Wil8, np.int8),
     )
     _MXU_CACHE[key] = out
     return out
@@ -471,7 +480,8 @@ def _mxu_transform(x, W_limbs, a_bits: int, w_bits: int, q_bits: int, Q: int):
         xl = ((x2 >> (la * a_bits)) & amask).astype(jnp.bfloat16)
         for lw in range(W_limbs.shape[0]):
             part = jnp.matmul(
-                xl, W_limbs[lw], preferred_element_type=jnp.float32)
+                xl, jnp.asarray(W_limbs[lw]),
+                preferred_element_type=jnp.float32)
             # recombine via (2^shift mod Q): raw shifts overflow int64 at
             # N = 2048 (sum can reach 2^65); part*smod < 2^51 stays exact
             smod = pow(2, la * a_bits + lw * w_bits, Q)
@@ -565,34 +575,45 @@ def ntt_fwd_digits(tables: NTTTables, d_signed, base: int):
         xl = ((x2 >> (la * a_bits)) & amask).astype(jnp.bfloat16)
         for lw in range(mxu.W_fwd.shape[0]):
             part = jnp.matmul(
-                xl, mxu.W_fwd[lw], preferred_element_type=jnp.float32)
+                xl, jnp.asarray(mxu.W_fwd[lw]),
+                preferred_element_type=jnp.float32)
             smod = pow(2, la * a_bits + lw * mxu.w_bits, Q)
             part = part.astype(I64) * smod
             acc = part if acc is None else acc + part
     # subtract the shift: NTT(x - half*ones) = NTT(x) - half*NTT(ones),
     # with the ones image pre-reduced mod Q (raw column sums fit easily)
-    acc = acc - half * (mxu.ones_fwd.astype(I64) % Q)[None, :]
+    acc = acc - half * jnp.asarray(
+        np.asarray(mxu.ones_fwd, np.int64) % Q, I64)[None, :]
     return ((acc % Q).astype(I32)).reshape(*lead, N)
 
 
 def _mxu_transform_s8(x, W_limbs_s8, Q: int):
     """Exact transform via int8 MXU passes: 7-bit limbs on both sides,
-    s32 accumulation (worst case 127*127*N < 2^31 for N <= 2^16)."""
+    s32 accumulation (worst case 127*127*N < 2^31 for N <= 2^16).
+
+    Recombination groups the (la, lw) passes by diagonal s = la + lw
+    (same 2^(7s) weight): s32 partial sums within a diagonal (bounded by
+    ~4 * 127^2 * N < 2^31), then one s64 multiply-add per diagonal — a
+    quarter of the naive per-pass s64 recombination work."""
     q_bits = (Q - 1).bit_length()
     na = -(-q_bits // 7)
+    nw = W_limbs_s8.shape[0]
     lead = x.shape[:-1]
     N = x.shape[-1]
     x2 = x.reshape(-1, N)
-    acc = None
+    diag = {}
     for la in range(na):
         xl = ((x2 >> (la * 7)) & 127).astype(jnp.int8)
-        for lw in range(W_limbs_s8.shape[0]):
+        for lw in range(nw):
             part = jax.lax.dot_general(
-                xl, W_limbs_s8[lw], (((1,), (0,)), ((), ())),
+                xl, jnp.asarray(W_limbs_s8[lw]), (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
-            smod = pow(2, (la + lw) * 7, Q)
-            part = part.astype(I64) * smod
-            acc = part if acc is None else acc + part
+            s_ = la + lw
+            diag[s_] = part if s_ not in diag else diag[s_] + part
+    acc = None
+    for s_, part in diag.items():
+        term = part.astype(I64) * pow(2, 7 * s_, Q)
+        acc = term if acc is None else acc + term
     return ((acc % Q).astype(I32)).reshape(*lead, N)
 
 
@@ -612,7 +633,7 @@ def _digits_fwd_s8(tables: NTTTables, d_signed, base: int):
         xl = ((x2 >> (la * 7)) & 127).astype(jnp.int8)
         for lw in range(mxu.W_fwd_s8.shape[0]):
             part = jax.lax.dot_general(
-                xl, mxu.W_fwd_s8[lw], (((1,), (0,)), ((), ())),
+                xl, jnp.asarray(mxu.W_fwd_s8[lw]), (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
             part = part.astype(I64) * pow(2, (la + lw) * 7, Q)
             acc = part if acc is None else acc + part
