@@ -5,10 +5,13 @@ python examples/boolean_mklwe.py [--paramset STD100_MKNTRU_LWE] [--batch 1]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from mkfhe_tpu import BinFHEContext
 from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
 
