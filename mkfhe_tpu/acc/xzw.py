@@ -260,43 +260,46 @@ def eval_acc(
     ek_sh_flat = key.ek_sh.transpose(0, 2, 1, 3, 4, 5).reshape(
         k * n, (1 if binary else 2), dg, 2, N)
 
-    def _contract(dctn, keys, keys_sh):
-        """dctn [..., dG, N] x keys [dG, N] -> [..., N].
+    def _contract(dctn, keys):
+        """dctn [..., dG, N] x keys [..., dG, N] -> [..., N].
 
-        s64 products summed over dG with ONE reduction at the end beats
-        per-product Shoup here (measured 2.8 vs 1.9 Gmulmod/s on v5e —
-        the % amortizes over the dG terms)."""
-        del keys_sh
+        s64 products summed over dG with ONE amortized reduction (measured
+        2.8 Gmulmod/s on v5e vs 1.9-2.0 for per-product Shoup/Barrett)."""
         prod = (dctn.astype(I64) * keys.astype(I64)).sum(axis=-2)
         return ((prod % Q)).astype(I32)
 
     def step(acc, xs):
         ek_t, ek_sh_t, c_t, uhot_t = xs   # ek_t: [nb, dG, 2, N]; c_t: [B]
         mon_p, mon_p_sh = monomial_minus_one_shoup(tables, c_t)   # [B, N]
-        if not binary:
+
+        # d,f rows for this step (mk-acc-xzw.cpp:322-325):
+        # ternary: df = ev1 - ev2*(X^{-c}-1) - ev2; binary: df = ev1.
+        # The ev2*(X^{-c}-1) single multiply runs as a Shoup product
+        # against the static ev2 (2x the s64 rate).
+        if binary:
+            df = jnp.broadcast_to(
+                ek_t[0][None], (bsz, dg, 2, N))           # [B, dG, 2, N]
+        else:
             mon_n, mon_n_sh = monomial_minus_one_shoup(
                 tables, (2 * N - c_t) % (2 * N))
+            t2 = shoup_mul(mon_n[:, None, None, :], ek_t[1][None],
+                           ek_sh_t[1][None], Q)
+            df = mod_sub(mod_sub(ek_t[0][None], t2, Q), ek_t[1][None], Q)
 
-        # acctemp = acc * (X^c - 1)
+        # acctemp = acc * (X^c - 1)  (Shoup against the gathered monomial)
         acctemp = shoup_mul(acc, mon_p[:, None, :], mon_p_sh[:, None, :], Q)
 
-        # HbProd (mk-acc-xzw.cpp:231-290), Shoup form
+        # HbProd (mk-acc-xzw.cpp:231-290)
         ct = ntt_inv(tables, acctemp)                        # [B, k, N]
         dct = signed_digit_decompose(
             ct, Q, params.base_g, dg, signed=True)           # [dG, B, k, N]
         dct = ntt_fwd_digits(tables, dct, params.base_g)
         dctn = jnp.moveaxis(dct, 0, 2)                       # [B, k, dG, N]
 
-        uj = _contract(dctn, ek_t[0, :, 0], ek_sh_t[0, :, 0])
-        if not binary:
-            s2 = _contract(dctn, ek_t[1, :, 0], ek_sh_t[1, :, 0])
-            uj = mod_sub(mod_sub(uj, s2, Q),
-                         shoup_mul(s2, mon_n[:, None, :],
-                                   mon_n_sh[:, None, :], Q), Q)
-
-        v = _contract(dctn, key.pkey[None], key.pkey_sh[None])  # [B, k, N]
+        uj = _contract(dctn, df[:, None, :, 0, :])           # [B, k, N]
+        v = _contract(dctn, key.pkey[None])                  # [B, k, N]
         sum_v = reduce(lambda a_, b_: mod_add(a_, b_, Q),
-                       [v[:, u] for u in range(k)])             # [B, N]
+                       [v[:, u] for u in range(k)])          # [B, N]
 
         sv_coeff = ntt_inv(tables, sum_v)
         dct2 = signed_digit_decompose(
@@ -304,11 +307,7 @@ def eval_acc(
         dct2 = ntt_fwd_digits(tables, dct2, params.base_g)
         dct2 = jnp.moveaxis(dct2, 0, 1)                      # [B, dG, N]
 
-        w = _contract(dct2, ek_t[0, :, 1], ek_sh_t[0, :, 1])  # [B, N]
-        if not binary:
-            f2 = _contract(dct2, ek_t[1, :, 1], ek_sh_t[1, :, 1])
-            w = mod_sub(mod_sub(w, f2, Q),
-                        shoup_mul(f2, mon_n, mon_n_sh, Q), Q)
+        w = _contract(dct2, df[:, :, 1, :])                  # [B, N]
 
         uhot = jnp.broadcast_to(uhot_t[None], (bsz, k))
         acctemp = jnp.where(
