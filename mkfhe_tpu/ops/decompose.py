@@ -31,7 +31,8 @@ def signed_digit_decompose(a, q: int, base: int, digits: int,
     mask = base - 1
     halfq = q >> 1
 
-    d0 = a.astype(I64)
+    # all intermediates fit int32: |d0| <= q/2 < 2^27, digits < base
+    d0 = a.astype(I32)
     d0 = jnp.where(d0 >= halfq, d0 - q, d0)  # t < QHalf ? t : t - Q
 
     gbits = base.bit_length() - 1
