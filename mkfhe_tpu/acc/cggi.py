@@ -26,7 +26,7 @@ from ..ops.decompose import signed_digit_decompose_pair
 from ..ops.modmath import (
     I32, I64, mod_add, mod_sub, shoup_mul, shoup_precompute)
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
-from ..ops.poly import monomial_minus_one_shoup
+from ..ops.poly import monomial_minus_one_eval, monomial_minus_one_shoup
 from ..params import RGSWParams
 from ..rng import Sampler
 
@@ -135,13 +135,16 @@ def eval_acc(
                 * ek[None].astype(I64)).sum(axis=2)
         tmp = (prod % Q).astype(I32)                        # [B, 2, 2, N]
 
-        mon_p, mon_p_sh = monomial_minus_one_shoup(tables, cp)   # [B, N]
-        mon_n, mon_n_sh = monomial_minus_one_shoup(tables, cn)
-        upd = mod_add(
-            shoup_mul(tmp[:, 0], mon_p[:, None, :], mon_p_sh[:, None, :], Q),
-            shoup_mul(tmp[:, 1], mon_n[:, None, :], mon_n_sh[:, None, :], Q),
-            Q)
-        acc = mod_add(acc, upd, Q)
+        # monomial multiplies stay in fused s64 form: measured in-gate,
+        # XLA's fused mul+constant-mod chains beat the u64-mulhi Shoup
+        # sequence (91 vs 56 gates/s on the full GINX gate)
+        mon_p = monomial_minus_one_eval(tables, cp)         # [B, N]
+        mon_n = monomial_minus_one_eval(tables, cn)
+        upd = (
+            tmp[:, 0].astype(I64) * mon_p[:, None, :].astype(I64)
+            + tmp[:, 1].astype(I64) * mon_n[:, None, :].astype(I64)
+        ) % Q
+        acc = mod_add(acc, upd.astype(I32), Q)
         return acc, None
 
     xs = (key.key, key.key_sh, c_pos.T, c_neg.T)

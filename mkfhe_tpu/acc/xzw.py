@@ -270,24 +270,23 @@ def eval_acc(
 
     def step(acc, xs):
         ek_t, ek_sh_t, c_t, uhot_t = xs   # ek_t: [nb, dG, 2, N]; c_t: [B]
-        mon_p, mon_p_sh = monomial_minus_one_shoup(tables, c_t)   # [B, N]
+        mon_p = monomial_minus_one_eval(tables, c_t)          # [B, N]
 
         # d,f rows for this step (mk-acc-xzw.cpp:322-325):
         # ternary: df = ev1 - ev2*(X^{-c}-1) - ev2; binary: df = ev1.
-        # The ev2*(X^{-c}-1) single multiply runs as a Shoup product
-        # against the static ev2 (2x the s64 rate).
+        # Fused s64 multiplies beat Shoup in-gate (see cggi.py note).
         if binary:
             df = jnp.broadcast_to(
                 ek_t[0][None], (bsz, dg, 2, N))           # [B, dG, 2, N]
         else:
-            mon_n, mon_n_sh = monomial_minus_one_shoup(
+            mon_n = monomial_minus_one_eval(
                 tables, (2 * N - c_t) % (2 * N))
-            t2 = shoup_mul(mon_n[:, None, None, :], ek_t[1][None],
-                           ek_sh_t[1][None], Q)
+            t2 = ((ek_t[1][None].astype(I64)
+                   * mon_n[:, None, None, :].astype(I64)) % Q).astype(I32)
             df = mod_sub(mod_sub(ek_t[0][None], t2, Q), ek_t[1][None], Q)
 
-        # acctemp = acc * (X^c - 1)  (Shoup against the gathered monomial)
-        acctemp = shoup_mul(acc, mon_p[:, None, :], mon_p_sh[:, None, :], Q)
+        # acctemp = acc * (X^c - 1)
+        acctemp = _mm(acc, mon_p[:, None, :], Q)
 
         # HbProd (mk-acc-xzw.cpp:231-290)
         ct = ntt_inv(tables, acctemp)                        # [B, k, N]
