@@ -502,6 +502,71 @@ def ntt_inv_mxu(tables: "NTTTables", mxu: MXUTables, a):
         a, mxu.W_inv, mxu.a_bits, mxu.w_bits, q_bits, tables.Q)
 
 
+# ------------------------------------------------- one-hot monomial table
+
+_PM1_S8_CACHE: dict = {}
+
+
+def _get_pm1_s8(tables: "NTTTables") -> np.ndarray:
+    """s8 limb decomposition of the full monomial table
+    M[m, j] = (psi^{e_j * m} - 1) mod Q, shape [n_limbs, 2N, N].
+
+    This resurrects the reference's precomputed X^m - 1 table
+    (mk-cryptoparameters.cpp:53-70) in MXU form: a one-hot [B, 2N] s8
+    matmul against it replaces the dynamic gather, which runs on the
+    TPU's scalar path at ~75M elem/s (measured: one [128, 2048] gather
+    costs ~3.2 ms — the dominant cost of the whole blind-rotation step).
+    """
+    key = (tables.N, tables.Q)
+    hit = _PM1_S8_CACHE.get(key)
+    if hit is not None:
+        return hit
+    N, Q = tables.N, tables.Q
+    host = _host_tables(N, Q)
+    psi = root_of_unity(2 * N, Q)
+    pows = np.ones(2 * N, dtype=np.int64)
+    for i in range(1, 2 * N):
+        pows[i] = pows[i - 1] * psi % Q
+    one_hot_x = np.zeros(N, dtype=np.int64)
+    one_hot_x[1] = 1
+    img = _np_ntt_fwd_1(one_hot_x, host.psi_brv, N, Q)
+    dlog = {int(pows[i]): i for i in range(2 * N)}
+    slot_exp = np.array([dlog[int(v)] for v in img], dtype=np.int64)
+    m = np.arange(2 * N, dtype=np.int64)[:, None]
+    M = (pows[(slot_exp[None, :] * m) % (2 * N)] - 1) % Q      # [2N, N]
+    q_bits = (Q - 1).bit_length()
+    nl = -(-q_bits // 7)
+    limbs = np.stack([((M >> (l * 7)) & 127).astype(np.int8)
+                      for l in range(nl)])
+    _PM1_S8_CACHE[key] = limbs
+    return limbs
+
+
+def monomial_minus_one_mxu(tables: "NTTTables", c):
+    """(X^c - 1) in EVAL form via one-hot s8 MXU dots — exact.
+
+    c: int array [...] in [0, 2N) -> [..., N] int32 in [0, Q).
+
+    Each dot against a 7-bit limb of the monomial table selects exactly
+    one row, so the s32 partials ARE the limb values; recombination is
+    pure s32 shifts+adds (result < Q < 2**28) — no s64, no reduction.
+    """
+    N = tables.N
+    lead = c.shape
+    c2 = c.reshape(-1).astype(I32)                            # [M]
+    limbs = _get_pm1_s8(tables)
+    iota = jax.lax.broadcasted_iota(I32, (c2.shape[0], 2 * N), 1)
+    onehot = (c2[:, None] == iota).astype(jnp.int8)           # [M, 2N]
+    acc = None
+    for l in range(limbs.shape[0]):
+        part = jax.lax.dot_general(
+            onehot, jnp.asarray(limbs[l]), (((1,), (0,)), ((), ())),
+            preferred_element_type=I32)
+        part = part << (l * 7)
+        acc = part if acc is None else acc + part
+    return acc.reshape(*lead, N)
+
+
 # ------------------------------------------------------------ host keygen
 
 def host_ntt_fwd(tables: NTTTables, a) -> np.ndarray:
