@@ -129,6 +129,71 @@ def barrett_mul(a, b, q: int, mu: int | None = None):
     return r.astype(I32)
 
 
+# ---------------------------------------------------- pure-u32 arithmetic
+#
+# TPU VPUs have no 64-bit lanes: XLA emulates every s64/u64 op as a long
+# 32-bit sequence, and inside lax.scan bodies this dominates the whole
+# MKNTRU gate (measured 0.02-0.08 Gmulmod/s for the s64 `%` path vs
+# 1.0-1.2 G for the u32 forms below — tpu_session5.py). The hot paths
+# therefore use ONLY u32 ops: mulhi via 16-bit partial products, Shoup
+# multiplication where one operand is precomputed, Barrett reduction for
+# dynamic x dynamic products. All are exact for q < 2**28.
+
+U32 = jnp.uint32
+
+
+def mulhi_u32(x, y):
+    """floor(x * y / 2^32) for uint32 x, y — four 16x16 partial products,
+    no 64-bit types anywhere."""
+    xl = x & U32(0xFFFF)
+    xh = x >> U32(16)
+    yl = y & U32(0xFFFF)
+    yh = y >> U32(16)
+    ll = xl * yl
+    lh = xl * yh
+    hl = xh * yl
+    hh = xh * yh
+    mid = (ll >> U32(16)) + (lh & U32(0xFFFF)) + (hl & U32(0xFFFF))
+    return hh + (lh >> U32(16)) + (hl >> U32(16)) + (mid >> U32(16))
+
+
+def shoup_mul_lazy_u32(x, y, ysh, q: int):
+    """x*y mod q in [0, 2q), all-u32 Shoup. x: ANY uint32 (the classic
+    w=32 analysis bounds the error for every x < 2^32); y < q with
+    precomputed companion ysh = floor(y*2^32/q)."""
+    q_est = mulhi_u32(x, ysh)
+    return x * y - q_est * U32(q)
+
+
+def barrett_reduce_u32(r, q: int):
+    """r mod q -> [0, q) for ANY uint32 r, via mu = floor(2^32/q):
+    r - mulhi(r, mu)*q lands in [0, 3q); two conditional subtracts."""
+    mu = U32((1 << 32) // q)
+    t = r - mulhi_u32(r, mu) * U32(q)
+    t = jnp.where(t >= U32(2 * q), t - U32(2 * q), t)
+    return jnp.where(t >= U32(q), t - U32(q), t)
+
+
+def mulmod_u32(a, b, q: int):
+    """(a * b) mod q -> [0, q) for a, b uint32 in [0, 2^28) — full 56-bit
+    product as (hi, lo) u32 pair, reduced with constant-companion Shoup on
+    hi (by 2^32 mod q) + Barrett on lo. ~29 VPU ops, no 64-bit types."""
+    hi = mulhi_u32(a, b)             # < 2^24
+    lo = a * b                       # low 32 bits (wrapping)
+    r2 = (1 << 32) % q
+    r2sh = (r2 << 32) // q
+    t = shoup_mul_lazy_u32(hi, U32(r2), U32(r2sh), q)   # [0, 2q)
+    mu = U32((1 << 32) // q)
+    lo_red = lo - mulhi_u32(lo, mu) * U32(q)            # [0, 3q)
+    s = t + lo_red                                      # < 5q < 2^31
+    return barrett_reduce_u32(s, q)
+
+
+def reduce_once_u32(r, q: int):
+    """[0, 2q) -> [0, q) single conditional subtract."""
+    return jnp.where(r >= U32(q), r - U32(q), r)
+
+
 # ------------------------------------------------------------------- Shoup
 
 def shoup_precompute(y, q: int):

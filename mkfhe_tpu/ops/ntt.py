@@ -652,14 +652,33 @@ def ntt_fwd_digits(tables: NTTTables, d_signed, base: int):
     return ((acc % Q).astype(I32)).reshape(*lead, N)
 
 
+def _recombine_diagonals_u32(diag: dict, Q: int, extra=None):
+    """Sum diagonal s32 partials with weights 2^(7s) mod Q — all-u32
+    constant-companion Shoup (each term in [0, 2Q)); optional `extra`
+    term already in [0, Q). Lazy sum < (2*len+1)*Q < 2^32 for <= 7
+    diagonals, then one Barrett reduce."""
+    from .modmath import U32, barrett_reduce_u32, shoup_mul_lazy_u32
+
+    acc = None
+    for s_, part in diag.items():
+        c = pow(2, 7 * s_, Q)
+        csh = (c << 32) // Q
+        term = shoup_mul_lazy_u32(part.astype(U32), U32(c), U32(csh), Q)
+        acc = term if acc is None else acc + term
+    if extra is not None:
+        acc = acc + extra.astype(U32)
+    return barrett_reduce_u32(acc, Q).astype(I32)
+
+
 def _mxu_transform_s8(x, W_limbs_s8, Q: int):
     """Exact transform via int8 MXU passes: 7-bit limbs on both sides,
     s32 accumulation (worst case 127*127*N < 2^31 for N <= 2^16).
 
     Recombination groups the (la, lw) passes by diagonal s = la + lw
     (same 2^(7s) weight): s32 partial sums within a diagonal (bounded by
-    ~4 * 127^2 * N < 2^31), then one s64 multiply-add per diagonal — a
-    quarter of the naive per-pass s64 recombination work."""
+    ~4 * 127^2 * N < 2^28 < Q-safe u32), then one all-u32 Shoup multiply
+    per diagonal and a single Barrett reduce — no 64-bit ops (TPU VPUs
+    emulate s64 at ~30x the cost, tpu_session5.py)."""
     q_bits = (Q - 1).bit_length()
     na = -(-q_bits // 7)
     nw = W_limbs_s8.shape[0]
@@ -675,11 +694,7 @@ def _mxu_transform_s8(x, W_limbs_s8, Q: int):
                 preferred_element_type=I32)
             s_ = la + lw
             diag[s_] = part if s_ not in diag else diag[s_] + part
-    acc = None
-    for s_, part in diag.items():
-        term = part.astype(I64) * pow(2, 7 * s_, Q)
-        acc = term if acc is None else acc + term
-    return ((acc % Q).astype(I32)).reshape(*lead, N)
+    return _recombine_diagonals_u32(diag, Q).reshape(*lead, N)
 
 
 def _digits_fwd_s8(tables: NTTTables, d_signed, base: int):
@@ -693,14 +708,19 @@ def _digits_fwd_s8(tables: NTTTables, d_signed, base: int):
     lead = x.shape[:-1]
     N = x.shape[-1]
     x2 = x.reshape(-1, N)
-    acc = None
+    diag = {}
     for la in range(na):
         xl = ((x2 >> (la * 7)) & 127).astype(jnp.int8)
         for lw in range(mxu.W_fwd_s8.shape[0]):
             part = jax.lax.dot_general(
                 xl, jnp.asarray(mxu.W_fwd_s8[lw]), (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
-            part = part.astype(I64) * pow(2, (la + lw) * 7, Q)
-            acc = part if acc is None else acc + part
-    acc = acc - half * (mxu.ones_fwd.astype(I64) % Q)[None, :]
-    return ((acc % Q).astype(I32)).reshape(*lead, N)
+            s_ = la + lw
+            diag[s_] = part if s_ not in diag else diag[s_] + part
+    # the shift correction NTT(x - half*ones) = NTT(x) - half*NTT(ones),
+    # folded in as a precomputed [0, Q) constant row added to the lazy sum
+    shift_img = jnp.asarray(
+        (-half * np.asarray(mxu.ones_fwd, np.int64)) % Q, I32)[None, :]
+    return _recombine_diagonals_u32(
+        diag, Q, extra=jnp.broadcast_to(shift_img, x2.shape)
+    ).reshape(*lead, N)
