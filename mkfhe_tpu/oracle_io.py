@@ -68,14 +68,10 @@ def load_mkntru_vectors(path: str):
 
     ksk = _read(path, "kskey", (k, N * dks, n))
 
-    from .ops.modmath import shoup_precompute
-
     bs = UniEncKey(
         ek=jnp.asarray(ek_arr, I32),
         ekstar=jnp.asarray(ekstar, I32),
-        pkey=jnp.asarray(pkey, I32),
-        ek_sh=jnp.asarray(shoup_precompute(ek_arr, Q)),
-        pkey_sh=jnp.asarray(shoup_precompute(pkey, Q)))
+        pkey=jnp.asarray(pkey, I32))
     ek = boot.UniEncBTKey(
         bs=bs,
         ks=MNTRUSwitchingKey(ksk=jnp.asarray(ksk, I32)),
@@ -180,14 +176,10 @@ def load_mklwe_vectors(path: str):
     pkey = host_ntt_fwd(tables, _read(path, "pkey", (k, dg, N)))
     fvec = _read(path, "fvec", (k, N))
 
-    from .ops.modmath import shoup_precompute
-
     bs = UniEncKey(
         ek=jnp.asarray(ek_arr, I32),
         ekstar=jnp.asarray(ekstar, I32),
-        pkey=jnp.asarray(pkey, I32),
-        ek_sh=jnp.asarray(shoup_precompute(ek_arr, Q)),
-        pkey_sh=jnp.asarray(shoup_precompute(pkey, Q)))
+        pkey=jnp.asarray(pkey, I32))
     ks = MKLWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (k, N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (k, N, bks, dks)), I32))

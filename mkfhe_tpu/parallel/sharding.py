@@ -65,8 +65,6 @@ def shard_mk_gate(mesh: Mesh, tables, params, ek: boot.UniEncBTKey):
             ek=jax.device_put(ek.bs.ek, ek_s),
             ekstar=jax.device_put(ek.bs.ekstar, rep_s),
             pkey=jax.device_put(ek.bs.pkey, pkey_s),
-            ek_sh=jax.device_put(ek.bs.ek_sh, ek_s),
-            pkey_sh=jax.device_put(ek.bs.pkey_sh, pkey_s),
         ),
         ks=type(ek.ks)(ksk=jax.device_put(ek.ks.ksk, ksk_s)),
         f_eval=jax.device_put(ek.f_eval, rep_s),

@@ -10,3 +10,12 @@ if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon sitecustomize registers the TPU-tunnel PJRT plugin at
+# interpreter start and sets jax_platforms="axon,cpu", silently
+# overriding the env var — every "CPU" test then runs over the tunnel
+# (~100x slower, and a different codegen target than the one under
+# test). Force the config back explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
