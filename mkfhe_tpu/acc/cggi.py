@@ -23,10 +23,9 @@ import jax.numpy as jnp
 from functools import reduce
 
 from ..ops.decompose import signed_digit_decompose_pair
-from ..ops.modmath import (
-    I32, I64, mod_add, mod_sub, shoup_mul, shoup_precompute)
+from ..ops.modmath import I32, I64, mod_add, mod_sub
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
-from ..ops.poly import monomial_minus_one_eval, monomial_minus_one_shoup
+from ..ops.poly import monomial_minus_one_eval
 from ..params import RGSWParams
 from ..rng import Sampler
 
@@ -36,7 +35,6 @@ class CGGIKey(NamedTuple):
     Axis 1: ek00 (s==1) / ek01 (s==-1); axis 3: (a, b) components."""
 
     key: jnp.ndarray
-    key_sh: jnp.ndarray
 
 
 def key_gen_acc(
@@ -89,8 +87,7 @@ def key_gen_acc(
     B_eval = (E_eval + A_eval * sk_np) % Q
     key = np.stack([A_msg_eval, B_eval], axis=3)
     return CGGIKey(
-        key=jnp.asarray(key, I32),
-        key_sh=jnp.asarray(shoup_precompute(key, Q)))
+        key=jnp.asarray(key, I32))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))
@@ -121,7 +118,7 @@ def eval_acc(
     c_neg = (2 * N - c_pos) % (2 * N)
 
     def step(acc, xs):
-        ek, ek_sh, cp, cn = xs     # ek: [2, dg2, 2, N]; cp/cn: [B]
+        ek, cp, cn = xs            # ek: [2, dg2, 2, N]; cp/cn: [B]
         ct0 = ntt_inv(tables, acc)                         # [B, 2, N] coeff
         dct = signed_digit_decompose_pair(
             ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg, signed=True
@@ -147,6 +144,6 @@ def eval_acc(
         acc = mod_add(acc, upd.astype(I32), Q)
         return acc, None
 
-    xs = (key.key, key.key_sh, c_pos.T, c_neg.T)
+    xs = (key.key, c_pos.T, c_neg.T)
     acc, _ = jax.lax.scan(step, acc, xs)
     return acc.reshape(*lead, 2, N)

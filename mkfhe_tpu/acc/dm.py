@@ -17,8 +17,7 @@ import jax.numpy as jnp
 from functools import reduce
 
 from ..ops.decompose import signed_digit_decompose_pair
-from ..ops.modmath import (
-    I32, I64, mod_add, shoup_mul, shoup_precompute)
+from ..ops.modmath import I32, I64, mod_add
 from ..ops.ntt import NTTTables, ntt_fwd, ntt_fwd_digits, ntt_inv
 from ..params import RGSWParams
 from ..rng import Sampler
@@ -29,7 +28,6 @@ class DMKey(NamedTuple):
     Index j == 0 rows are unused (EvalAcc skips zero digits), zeros."""
 
     key: jnp.ndarray
-    key_sh: jnp.ndarray
 
 
 def key_gen_acc(
@@ -95,8 +93,7 @@ def key_gen_acc(
     key = key.reshape(n, baseR, dR, dg2, 2, N)
     # zero out j == 0 rows (never used; keeps gather semantics clean)
     key[:, 0] = 0
-    return DMKey(jnp.asarray(key, I32),
-                 jnp.asarray(shoup_precompute(key, Q)))
+    return DMKey(jnp.asarray(key, I32))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))
@@ -133,11 +130,8 @@ def eval_acc(
     # step order (i, t) with t innermost -> [n*dR, baseR, dg2, 2, N]
     key_flat = key.key.transpose(0, 2, 1, 3, 4, 5).reshape(
         n * dR, baseR, dg2, 2, N)
-    key_sh_flat = key.key_sh.transpose(0, 2, 1, 3, 4, 5).reshape(
-        n * dR, baseR, dg2, 2, N)
-
     def step(acc, xs):
-        ek_row, ek_sh_row, d_t = xs  # ek_row: [baseR, dg2, 2, N]; d_t: [B]
+        ek_row, d_t = xs           # ek_row: [baseR, dg2, 2, N]; d_t: [B]
         ct0 = ntt_inv(tables, acc)
         dct = signed_digit_decompose_pair(
             ct0[:, 0, :], ct0[:, 1, :], Q, params.base_g, dg,
@@ -150,5 +144,5 @@ def eval_acc(
         acc = jnp.where((d_t == 0)[:, None, None], acc, new)
         return acc, None
 
-    acc, _ = jax.lax.scan(step, acc, (key_flat, key_sh_flat, dig_steps))
+    acc, _ = jax.lax.scan(step, acc, (key_flat, dig_steps))
     return acc.reshape(*lead, 2, N)

@@ -22,11 +22,9 @@ from .params import (
 )
 from .schemes.mntru import MNTRUCiphertext, MNTRUSwitchingKey
 
-
 def _read(path, name, shape):
     a = np.fromfile(os.path.join(path, name + ".bin"), dtype=np.int64)
     return a.reshape(shape)
-
 
 def load_mkntru_vectors(path: str):
     """Returns (params, tables, ek: UniEncBTKey, cts: dict)."""
@@ -87,7 +85,6 @@ def load_mkntru_vectors(path: str):
     sk_Finv = _read(path, "sk_Finv", (k, n, n))
     return params, tables, ek, cts, (sk_F, sk_Finv)
 
-
 def load_ginx_vectors(path: str):
     """Load capture_ginx dumps -> (params, tables, ek, cts dict)."""
     from .acc.cggi import CGGIKey
@@ -116,12 +113,9 @@ def load_ginx_vectors(path: str):
         lwe=lwe_p, rgsw=rgsw_p)
     tables = get_tables(N, Q)
 
-    from .ops.modmath import shoup_precompute
-
     bs_coeff = _read(path, "bskey", (n, 2, dg2, 2, N))
     bs_eval = host_ntt_fwd(tables, bs_coeff)
-    bs = CGGIKey(jnp.asarray(bs_eval, I32),
-                 jnp.asarray(shoup_precompute(bs_eval, Q)))
+    bs = CGGIKey(jnp.asarray(bs_eval, I32))
     ksk = LWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
@@ -137,7 +131,6 @@ def load_ginx_vectors(path: str):
         cts["ctout_" + g] = load_ct("ctout_" + g)
     sk = _read(path, "sk", (n,))
     return params, tables, ek, cts, sk
-
 
 def load_mklwe_vectors(path: str):
     """Load capture_mklwe dumps -> (params, tables, ek, cts, sk)."""
@@ -198,7 +191,6 @@ def load_mklwe_vectors(path: str):
     sk = _read(path, "sk", (k, n))
     return params, tables, ek, cts, sk
 
-
 def load_ap_vectors(path: str):
     """Load capture_ginx STD128_AP dumps -> (params, tables, ek, cts, sk)."""
     from .acc.dm import DMKey
@@ -232,12 +224,9 @@ def load_ap_vectors(path: str):
         lwe=lwe_p, rgsw=rgsw_p)
     tables = get_tables(N, Q)
 
-    from .ops.modmath import shoup_precompute
-
     bs_coeff = _read(path, "bskey", (n, baseR, dR, dg2, 2, N))
     bs_eval = host_ntt_fwd(tables, bs_coeff)
-    bs = DMKey(jnp.asarray(bs_eval, I32),
-               jnp.asarray(shoup_precompute(bs_eval, Q)))
+    bs = DMKey(jnp.asarray(bs_eval, I32))
     ksk = LWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))

@@ -55,7 +55,10 @@ def sharded_ntt_fn(mesh: Mesh, tables: nttm.NTTTables, inverse: bool = False):
             for lw in range(w_sharded.shape[0]):
                 part = jnp.matmul(
                     xl, w_sharded[lw], preferred_element_type=jnp.float32)
-                part = part.astype(I64) << (la * a_bits + lw * w_bits)
+                # recombine via (2^shift mod Q), exactly as ops.ntt
+                # _mxu_transform: raw shifts overflow int64 at N = 2048
+                smod = pow(2, la * a_bits + lw * w_bits, Q)
+                part = part.astype(I64) * smod
                 acc = part if acc is None else acc + part
         return (acc % Q).astype(I32)
 

@@ -1,3 +1,7 @@
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
 import numpy as np
 import jax.numpy as jnp
 

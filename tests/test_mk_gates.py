@@ -7,6 +7,10 @@ tests cover the same flow, batched over all four input combinations, at
 2 and 4 parties, plus fresh-encryption roundtrips and gate chaining.
 """
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
 import numpy as np
 import pytest
 

@@ -1,6 +1,10 @@
 """Exactness of the pure-u32 modular arithmetic (ops/modmath.py) used on
 every TPU hot path — adversarial operands at the modulus edges."""
 
+import pytest as _pytest
+
+pytestmark = _pytest.mark.smoke
+
 import numpy as np
 import jax.numpy as jnp
 

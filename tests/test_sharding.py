@@ -19,8 +19,10 @@ def mesh8():
     return Mesh(devs.reshape(2, 4), axis_names=("dp", "ring"))
 
 
-def test_ring_sharded_ntt_matches(mesh8):
-    N = 256
+@pytest.mark.parametrize("N", [256, 2048])
+def test_ring_sharded_ntt_matches(mesh8, N):
+    # N=2048/Q~2^27 is the production MK ring size — it caught the raw
+    # `<<` limb-recombination int64 overflow (VERDICT r1 weak #4)
     Q = nttm.previous_prime(nttm.first_prime(27, 2 * N), 2 * N)
     t = nttm.make_ntt_tables(N, Q)
     rng = np.random.default_rng(5)

@@ -35,3 +35,27 @@ def test_ntru_nand_chain(ctx):
         ct = cc.EvalBinGate(BINGATE.NAND, ct, ct_one)
         val = 1 - (val & 1)
         np.testing.assert_array_equal(cc.Decrypt(sk, ct), [val])
+
+
+def test_ntru_nand_factor4():
+    """2N/q = 4 paramset (the P192T/P192G shape): the automorphism-key
+    index must be derived as (t-1)/factor - 1, not (t-3)//2 (VERDICT r1
+    weak #5). Toy-sized: N=1024, q=512."""
+    from mkfhe_tpu.constants import (
+        ContextParams, SecretKeyDist)
+
+    cp = ContextParams(
+        num_user=1, number_bits=21, cycl_order=2048, lattice_param=64,
+        mod=512, mod_ks=1 << 14, std_dev=0.5, base_ks=32, base_g=1 << 7,
+        base_rk=32, num_auto_keys=10,
+        key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    cc = BinFHEContext(seed=9)
+    cc.GenerateBinFHEContextCustom(cp, BINFHE_METHOD.XZDDF)
+    assert 2 * cc.params.vntru.N // cc.params.vntru.q == 4
+    sk = cc.KeyGen()
+    cc.NBTKeyGen(sk)
+    m1 = np.array([0, 0, 1, 1])
+    m2 = np.array([0, 1, 0, 1])
+    out = cc.EvalBinGate(
+        BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
+    np.testing.assert_array_equal(cc.Decrypt(sk, out), [1, 1, 1, 0])
