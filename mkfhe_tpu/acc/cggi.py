@@ -117,6 +117,13 @@ def eval_acc(
     c_pos = (((q - a2) % q).astype(I64) * m_by_mod) % (2 * N)   # [B, n]
     c_neg = (2 * N - c_pos) % (2 * N)
 
+    from ..ops import fused
+    if fused.enabled():
+        out = fused.cggi_scan_fused(
+            tables, params, key.key, acc,
+            c_pos.astype(I32), c_neg.astype(I32))
+        return out.reshape(*lead, 2, N)
+
     def step(acc, xs):
         ek, cp, cn = xs            # ek: [2, dg2, 2, N]; cp/cn: [B]
         ct0 = ntt_inv(tables, acc)                         # [B, 2, N] coeff

@@ -251,6 +251,13 @@ def eval_acc(
     ek_flat = key.ek.transpose(0, 2, 1, 3, 4, 5).reshape(
         k * n, (1 if binary else 2), dg, 2, N)
 
+    from ..ops import fused
+    if fused.enabled():
+        out = fused.xzw_scan_fused(
+            tables, params, ek_flat[1:], key.pkey, acc,
+            c_steps[1:].astype(I32), binary)
+        return out.reshape(*lead, k, N)
+
     def _contract(dctn, keys):
         """dctn [..., dG, N] x keys [..., dG, N] -> [..., N].
 

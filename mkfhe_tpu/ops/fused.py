@@ -1,0 +1,511 @@
+"""Fused Pallas blind-rotation kernels (TPU).
+
+The scan-based accumulators (acc/cggi.py, acc/xzw.py) bounce every
+per-step intermediate ([B, dg2, N] digit tensors, recombination partials)
+through HBM and pay XLA scan dispatch per step. These kernels run the
+ENTIRE blind rotation inside one pallas_call:
+
+  * the int8 limb matrices of the inverse/forward NTT (ops.ntt
+    MXUTables.W_inv_s8/W_fwd_s8) stay VMEM-resident for all n steps
+  * the accumulator is a loop-carried VMEM value — zero HBM traffic
+  * the per-step key slice and the (X^c - 1) monomial rows stream from
+    HBM through double-buffered async DMA, fully hidden behind the MXU
+  * ALL modular arithmetic is 32-bit (mulhi/Shoup/Barrett from
+    ops.modmath) — the TPU VPU has no native 64-bit lanes
+
+Bit-exactness contract: identical [0, Q) outputs to the lax.scan paths
+(verified coefficient-exact in tests/test_fused.py and by the oracle
+suite). Reference anchors: AddToAccCGGI rgsw-acc-cggi.cpp:102-152,
+EvalAcc/HbProd mk-acc-xzw.cpp:89-130,231-345.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmath import (
+    I32, U32, barrett_reduce_u32, mulmod_u32, shoup_mul_lazy_u32)
+from . import ntt as nttm
+
+# ------------------------------------------------------------------ config
+
+_MODE = "auto"   # "auto": fused on TPU backends only; "on": everywhere
+                 # (CPU runs in interpret mode — slow, test-only); "off"
+
+
+def set_mode(mode: str) -> None:
+    assert mode in ("auto", "on", "off")
+    global _MODE
+    if mode != _MODE:
+        jax.clear_caches()   # mode is read at trace time, not a cache key
+    _MODE = mode
+
+
+def enabled() -> bool:
+    if _MODE == "off":
+        return False
+    if _MODE == "on":
+        return True
+    return jax.default_backend() not in ("cpu",)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ------------------------------------------------- in-kernel exact helpers
+
+def _limbs_s8(x_u32, n_limbs: int):
+    """7-bit limb planes of a non-negative u32 array, as int8."""
+    out = []
+    for la in range(n_limbs):
+        out.append(((x_u32 >> U32(7 * la)) & U32(127))
+                   .astype(I32).astype(jnp.int8))
+    return out
+
+
+def _recombine(diag: dict, Q: int, extra=None):
+    """Diagonal s32 partials -> [0, Q) u32 (ops.ntt
+    _recombine_diagonals_u32, inlined so the kernel has no module dep)."""
+    acc = None
+    for s_, part in diag.items():
+        c = pow(2, 7 * s_, Q)
+        csh = (c << 32) // Q
+        term = shoup_mul_lazy_u32(part.astype(U32), U32(c), U32(csh), Q)
+        acc = term if acc is None else acc + term
+    if extra is not None:
+        acc = acc + extra
+    return barrett_reduce_u32(acc, Q)
+
+
+def _transform_s8(x_u32, w_ref, Q: int, n_limbs: int):
+    """Exact NTT/INTT: x [R, N] u32 in [0, Q) x W limbs [nw, N, N] int8
+    -> [R, N] u32 in [0, Q). Mirrors ops.ntt._mxu_transform_s8."""
+    nw = w_ref.shape[0]
+    diag = {}
+    for la, xl in enumerate(_limbs_s8(x_u32, n_limbs)):
+        for lw in range(nw):
+            part = jax.lax.dot_general(
+                xl, w_ref[lw], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)
+            s_ = la + lw
+            diag[s_] = part if s_ not in diag else diag[s_] + part
+    return _recombine(diag, Q)
+
+
+def _digits_transform_s8(dsh_u32, wf_ref, shift_row_u32, Q: int,
+                         base: int):
+    """Forward NTT of SHIFTED digits in [0, base): fewer input limbs +
+    the constant-shift image folded into the lazy sum (ops.ntt
+    _digits_fwd_s8). dsh: [R, N]; shift_row: [1, N] u32 in [0, Q)."""
+    n_limbs = -(-max(1, (base - 1).bit_length()) // 7)
+    nw = wf_ref.shape[0]
+    diag = {}
+    for la, xl in enumerate(_limbs_s8(dsh_u32, n_limbs)):
+        for lw in range(nw):
+            part = jax.lax.dot_general(
+                xl, wf_ref[lw], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)
+            s_ = la + lw
+            diag[s_] = part if s_ not in diag else diag[s_] + part
+    extra = jnp.broadcast_to(shift_row_u32, dsh_u32.shape)
+    return _recombine(diag, Q, extra=extra)
+
+
+def _signed_digits(a_u32, Q: int, base: int, digits: int):
+    """Balanced digits of a in [0, Q), low digit dropped — the i32 port of
+    ops.decompose.signed_digit_decompose. Returns `digits` arrays of
+    SHIFTED digits in [0, base) as u32 (ready for _digits_transform_s8)."""
+    half_base = base // 2
+    mask = base - 1
+    halfq = Q >> 1
+    gbits = base.bit_length() - 1
+    d0 = a_u32.astype(I32)
+    d0 = jnp.where(d0 >= halfq, d0 - Q, d0)
+
+    def extract(d):
+        r = ((d + half_base) & mask) - half_base
+        return r, (d - r) >> gbits
+
+    r, d0 = extract(d0)     # dropped low digit
+    outs = []
+    for _ in range(digits):
+        r, d0 = extract(d0)
+        outs.append((r + half_base).astype(U32))   # shift to [0, base)
+    return outs
+
+
+def _shift_row(tables, base: int) -> np.ndarray:
+    """(-base/2 * NTT(1..1)) mod Q as a [1, N] u32 row (digit-NTT shift
+    correction)."""
+    mxu = nttm.get_mxu_tables(tables)
+    v = (-(base // 2) * np.asarray(mxu.ones_fwd, np.int64)) % tables.Q
+    return np.asarray(v, np.uint32)[None, :]
+
+
+def _shoup_companions(y, Q: int):
+    """floor(y * 2^32 / Q) as u32, computed on-device OUTSIDE the kernel
+    (u64 ops are fine in XLA; only the kernel body must stay 32-bit)."""
+    return ((y.astype(jnp.uint64) << jnp.uint64(32))
+            // jnp.uint64(Q)).astype(U32)
+
+
+# ------------------------------------------------------ fused CGGI (GINX)
+
+def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
+                 winv_ref, wfwd_ref, shift_ref, out_ref,
+                 ek_buf, eksh_buf, mp_buf, mn_buf, sems,
+                 *, Q: int, base_g: int, dg: int, n_steps: int,
+                 n_limbs_q: int):
+    BT = acc_ref.shape[0]
+    N = acc_ref.shape[2]
+    dg2 = 2 * dg
+    b0 = pl.program_id(0) * BT
+
+    def dmas(i, slot):
+        i = jnp.asarray(i, I32)
+        slot = jnp.asarray(slot, I32)
+        return (
+            pltpu.make_async_copy(ek_hbm.at[i], ek_buf.at[slot],
+                                  sems.at[0, slot]),
+            pltpu.make_async_copy(eksh_hbm.at[i], eksh_buf.at[slot],
+                                  sems.at[1, slot]),
+            pltpu.make_async_copy(monp_hbm.at[i, pl.ds(b0, BT)],
+                                  mp_buf.at[slot], sems.at[2, slot]),
+            pltpu.make_async_copy(monn_hbm.at[i, pl.ds(b0, BT)],
+                                  mn_buf.at[slot], sems.at[3, slot]),
+        )
+
+    for d in dmas(0, 0):
+        d.start()
+
+    acc0 = acc_ref[...].astype(U32)          # [BT, 2, N], values in [0, Q)
+
+    def step(i, acc):
+        slot = i % 2
+
+        @pl.when(i + 1 < n_steps)
+        def _():
+            for d in dmas(i + 1, (i + 1) % 2):
+                d.start()
+
+        for d in dmas(i, slot):
+            d.wait()
+
+        ek = ek_buf[slot]                    # [2, dg2, 2, N] i32
+        eksh = eksh_buf[slot]                # [2, dg2, 2, N] u32
+        mp = mp_buf[slot].astype(U32)        # [BT, N]
+        mn = mn_buf[slot].astype(U32)
+
+        # INTT both RLWE components at once
+        coeff = _transform_s8(
+            acc.reshape(BT * 2, N), winv_ref, Q, n_limbs_q
+        ).reshape(BT, 2, N)
+
+        # balanced digits, interleaved (d2 = 2*d + component,
+        # rgsw-acc.cpp:37-49), shifted to [0, base)
+        digs0 = _signed_digits(coeff[:, 0, :], Q, base_g, dg)
+        digs1 = _signed_digits(coeff[:, 1, :], Q, base_g, dg)
+        rows = []
+        for d in range(dg):
+            rows.append(digs0[d])
+            rows.append(digs1[d])
+        dsh = jnp.concatenate(rows, axis=0)              # [dg2*BT, N]
+
+        dct = _digits_transform_s8(
+            dsh, wfwd_ref, shift_ref[...].astype(U32), Q, base_g
+        ).reshape(dg2, BT, N)
+
+        # tmp[t, c] = sum_d2 dct[d2] * ek[t, d2, c]  (Shoup-lazy + one
+        # Barrett; 2*dg2*Q < 2^32 for dg2 <= 15)
+        def contract(t, c):
+            s = None
+            for d2 in range(dg2):
+                term = shoup_mul_lazy_u32(
+                    dct[d2], ek[t, d2, c][None].astype(U32),
+                    eksh[t, d2, c][None], Q)
+                s = term if s is None else s + term
+            return barrett_reduce_u32(s, Q)              # [BT, N]
+
+        new = []
+        for c in range(2):
+            u0 = mulmod_u32(contract(0, c), mp, Q)
+            u1 = mulmod_u32(contract(1, c), mn, Q)
+            new.append(barrett_reduce_u32(acc[:, c, :] + u0 + u1, Q))
+        return jnp.stack(new, axis=1)                    # [BT, 2, N]
+
+    acc = jax.lax.fori_loop(0, n_steps, step, acc0)
+    out_ref[...] = acc.astype(I32)
+
+
+@partial(jax.jit, static_argnames=("params",))
+def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
+    """Full GINX blind rotation in one pallas_call.
+
+    key_arr: [n, 2, dg2, 2, N] i32; acc: [B, 2, N] i32 EVAL;
+    c_pos/c_neg: [B, n] i32 rotation indices in [0, 2N).
+    Returns [B, 2, N] i32 EVAL — bit-equal to the lax.scan path.
+    """
+    Q, N = params.Q, params.N
+    dg = params.digits_g - 1
+    dg2 = 2 * dg
+    B = acc.shape[0]
+    n_steps = key_arr.shape[0]
+    n_limbs_q = -(-(Q - 1).bit_length() // 7)
+
+    mxu = nttm.get_mxu_tables(tables)
+    winv = jnp.asarray(mxu.W_inv_s8)
+    wfwd = jnp.asarray(mxu.W_fwd_s8)
+    shift = jnp.asarray(
+        _shift_row(tables, params.base_g).astype(np.int32))
+
+    # (X^c - 1) for every (step, batch) element in ONE batched one-hot
+    # matmul — far better MXU shapes than per-step, and the kernel then
+    # just streams [BT, N] rows
+    monp = nttm.monomial_minus_one_mxu(tables, c_pos.T)     # [n, B, N]
+    monn = nttm.monomial_minus_one_mxu(tables, c_neg.T)
+    eksh = _shoup_companions(key_arr, Q)
+
+    BT = min(B, 128)
+    assert B % BT == 0
+
+    grid = (B // BT,)
+    kernel = partial(
+        _cggi_kernel, Q=Q, base_g=params.base_g, dg=dg,
+        n_steps=n_steps, n_limbs_q=n_limbs_q)
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((B, 2, N), I32),
+        in_specs=[
+            pl.BlockSpec((BT, 2, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # ek (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # ek_sh
+            pl.BlockSpec(memory_space=pl.ANY),     # monp
+            pl.BlockSpec(memory_space=pl.ANY),     # monn
+            pl.BlockSpec((mxu.W_inv_s8.shape[0], N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mxu.W_fwd_s8.shape[0], N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BT, 2, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, dg2, 2, N), I32),   # ek double buffer
+            pltpu.VMEM((2, 2, dg2, 2, N), U32),   # ek_sh
+            pltpu.VMEM((2, BT, N), I32),          # mon_p
+            pltpu.VMEM((2, BT, N), I32),          # mon_n
+            pltpu.SemaphoreType.DMA((4, 2)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(acc, key_arr, eksh, monp, monn, winv, wfwd, shift)
+
+
+# ------------------------------------------------- fused XZW / XZW_B (MK)
+
+def _xzw_kernel(acc_ref, ek_hbm, monp_hbm, monn_hbm,
+                pkey_ref, pkeysh_ref, winv_ref, wfwd_ref, shift_ref,
+                out_ref, ek_buf, mp_buf, mn_buf, sems,
+                *, Q: int, base_g: int, dG: int, n_steps: int,
+                n_limbs_q: int, k: int, n_per_user: int, binary: bool):
+    """Steps 1..k*n-1 of UniEnc EvalAcc (mk-acc-xzw.cpp:89-130; HbProd
+    :231-290). Mirrors acc/xzw.py `step` operation-for-operation in u32
+    so outputs are bit-equal to the s64 scan."""
+    BT = acc_ref.shape[0]
+    N = acc_ref.shape[2]
+    b0 = pl.program_id(0) * BT
+    nb = 1 if binary else 2
+
+    def dmas(i, slot):
+        i = jnp.asarray(i, I32)
+        slot = jnp.asarray(slot, I32)
+        ops = [
+            pltpu.make_async_copy(ek_hbm.at[i], ek_buf.at[slot],
+                                  sems.at[0, slot]),
+            pltpu.make_async_copy(monp_hbm.at[i, pl.ds(b0, BT)],
+                                  mp_buf.at[slot], sems.at[1, slot]),
+        ]
+        if not binary:
+            ops.append(
+                pltpu.make_async_copy(monn_hbm.at[i, pl.ds(b0, BT)],
+                                      mn_buf.at[slot], sems.at[2, slot]))
+        return ops
+
+    for d in dmas(0, 0):
+        d.start()
+
+    acc0 = acc_ref[...].astype(U32)            # [BT, k, N] in [0, Q)
+    pkey = pkey_ref[...].astype(U32)           # [k, dG, N]
+    pkeysh = pkeysh_ref[...]                   # [k, dG, N] u32
+    shift_row = shift_ref[...].astype(U32)     # [1, N]
+
+    def step(i, acc):
+        slot = i % 2
+
+        @pl.when(i + 1 < n_steps)
+        def _():
+            for d in dmas(i + 1, (i + 1) % 2):
+                d.start()
+
+        for d in dmas(i, slot):
+            d.wait()
+
+        ek = ek_buf[slot]                      # [nb, dG, 2, N] i32
+        mp = mp_buf[slot].astype(U32)          # [BT, N]
+
+        # df rows (mk-acc-xzw.cpp:322-325): ternary
+        # df = ev1 - ev2*(X^{-c}-1) - ev2; binary df = ev1.
+        if binary:
+            df = None                          # use ek[0] directly
+        else:
+            mn = mn_buf[slot].astype(U32)      # [BT, N]
+            t2 = mulmod_u32(
+                ek[1][None].astype(U32), mn[:, None, None, :], Q)
+            df = barrett_reduce_u32(
+                ek[0][None].astype(U32)
+                + (U32(Q) - t2)
+                + (U32(Q) - ek[1][None].astype(U32)), Q)
+            # df: [BT, dG, 2, N] in [0, Q)
+
+        # acctemp = acc * (X^c - 1)
+        acctemp = mulmod_u32(acc, mp[:, None, :], Q)        # [BT, k, N]
+
+        # HbProd: INTT -> digits -> fwd NTT
+        coeff = _transform_s8(
+            acctemp.reshape(BT * k, N), winv_ref, Q, n_limbs_q)
+        digs = _signed_digits(coeff, Q, base_g, dG)
+        dsh = jnp.concatenate(digs, axis=0)                 # [dG*BT*k, N]
+        dct = _digits_transform_s8(
+            dsh, wfwd_ref, shift_row, Q, base_g
+        ).reshape(dG, BT, k, N)
+
+        # uj[u'] = <g^-1(acc_u'), d>; v[u'] = <g^-1(acc_u'), Pkey_u'>
+        uj = None
+        v = None
+        for d in range(dG):
+            if binary:
+                td = mulmod_u32(dct[d], ek[0, d, 0][None, None].astype(U32),
+                                Q)
+            else:
+                td = mulmod_u32(dct[d], df[:, d, 0][:, None, :], Q)
+            uj = td if uj is None else uj + td              # < dG*Q
+            tv = shoup_mul_lazy_u32(
+                dct[d], pkey[:, d][None], pkeysh[:, d][None], Q)
+            v = tv if v is None else v + tv                 # < 2*dG*Q
+        uj = barrett_reduce_u32(uj, Q)                      # [BT, k, N]
+        v = barrett_reduce_u32(v, Q)
+
+        sum_v = v[:, 0]
+        for u in range(1, k):
+            sum_v = sum_v + v[:, u]
+        sum_v = barrett_reduce_u32(sum_v, Q)                # [BT, N]
+
+        coeff2 = _transform_s8(sum_v, winv_ref, Q, n_limbs_q)
+        digs2 = _signed_digits(coeff2, Q, base_g, dG)
+        dsh2 = jnp.concatenate(digs2, axis=0)               # [dG*BT, N]
+        dct2 = _digits_transform_s8(
+            dsh2, wfwd_ref, shift_row, Q, base_g
+        ).reshape(dG, BT, N)
+
+        w = None
+        for d in range(dG):
+            if binary:
+                td = mulmod_u32(dct2[d], ek[0, d, 1][None].astype(U32), Q)
+            else:
+                td = mulmod_u32(dct2[d], df[:, d, 1], Q)
+            w = td if w is None else w + td
+        w = barrett_reduce_u32(w, Q)                        # [BT, N]
+
+        # acc += uj (+ w on this step's user row); user = (i+1)//n
+        u_idx = jnp.asarray((i + 1) // n_per_user, I32)
+        kiota = jax.lax.broadcasted_iota(I32, (1, k, 1), 1)
+        add_w = jnp.where(kiota == u_idx, w[:, None, :], U32(0))
+        return barrett_reduce_u32(acc + uj + add_w, Q)      # < 3Q
+
+    acc = jax.lax.fori_loop(0, n_steps, step, acc0)
+    out_ref[...] = acc.astype(I32)
+
+
+@partial(jax.jit, static_argnames=("params", "binary"))
+def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
+    """Steps 1..k*n-1 of the XZW blind rotation in one pallas_call.
+
+    ek_steps: [S, nb, dG, 2, N] i32 (S = k*n - 1, step-major rows of the
+    UniEnc key, the scan's ek_flat[1:]); pkey: [k, dG, N]; acc: [B, k, N]
+    EVAL after the unrolled KDM step 0; c_steps: [S, B] rotation indices.
+    Bit-equal to the lax.scan path in acc/xzw.py.
+    """
+    Q, N = params.Q, params.N
+    dG = params.digits_g - 1
+    B = acc.shape[0]
+    k = acc.shape[1]
+    S = ek_steps.shape[0]
+    n_per_user = (S + 1) // k
+    n_limbs_q = -(-(Q - 1).bit_length() // 7)
+
+    mxu = nttm.get_mxu_tables(tables)
+    winv = jnp.asarray(mxu.W_inv_s8)
+    wfwd = jnp.asarray(mxu.W_fwd_s8)
+    shift = jnp.asarray(
+        _shift_row(tables, params.base_g).astype(np.int32))
+
+    monp = nttm.monomial_minus_one_mxu(tables, c_steps)     # [S, B, N]
+    if binary:
+        monn = jnp.zeros((1, 1, N), I32)                    # unused
+    else:
+        monn = nttm.monomial_minus_one_mxu(
+            tables, (2 * N - c_steps) % (2 * N))
+    pkeysh = _shoup_companions(pkey, Q)
+
+    BT = min(B, 128)
+    assert B % BT == 0
+    nb = 1 if binary else 2
+
+    kernel = partial(
+        _xzw_kernel, Q=Q, base_g=params.base_g, dG=dG, n_steps=S,
+        n_limbs_q=n_limbs_q, k=k, n_per_user=n_per_user, binary=binary)
+
+    scratch = [
+        pltpu.VMEM((2, nb, dG, 2, N), I32),   # ek double buffer
+        pltpu.VMEM((2, BT, N), I32),          # mon_p
+        pltpu.VMEM((2, BT, N), I32),          # mon_n (dummy if binary)
+        pltpu.SemaphoreType.DMA((3, 2)),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(B // BT,),
+        out_shape=jax.ShapeDtypeStruct((B, k, N), I32),
+        in_specs=[
+            pl.BlockSpec((BT, k, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),     # ek steps (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # monp
+            pl.BlockSpec(memory_space=pl.ANY),     # monn
+            pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mxu.W_inv_s8.shape[0], N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mxu.W_fwd_s8.shape[0], N, N), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BT, k, N), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=_interpret(),
+    )(acc, ek_steps, monp, monn, pkey, pkeysh, winv, wfwd, shift)

@@ -1,0 +1,91 @@
+"""Fused Pallas blind-rotation kernels vs the lax.scan reference paths.
+
+Runs the Pallas kernels in interpreter mode on CPU (ops.fused set_mode
+"on") and asserts COEFFICIENT-EXACT equality with the scan
+implementations on random keys/accumulators — bit-exactness is the
+contract (the scan paths are themselves oracle-verified)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mkfhe_tpu.constants import BINFHE_METHOD, SecretKeyDist
+from mkfhe_tpu.ops import fused
+from mkfhe_tpu.ops import ntt as nttm
+from mkfhe_tpu.ops.modmath import I32
+from mkfhe_tpu.params import RGSWParams
+
+
+@pytest.fixture(autouse=True)
+def _mxu_impl():
+    nttm.set_default_impl("mxu_s8")
+    yield
+    nttm.set_default_impl("butterfly")
+    fused.set_mode("off")
+
+
+def _mk_cggi_case(N=256, n=6, B=4, seed=0):
+    Q = nttm.previous_prime(nttm.first_prime(27, 2 * N), 2 * N)
+    params = RGSWParams(
+        N=N, Q=Q, q=2 * N, base_g=1 << 9, base_r=32,
+        method=BINFHE_METHOD.GINX, std=1.9,
+        key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    tables = nttm.make_ntt_tables(N, Q)
+    rng = np.random.default_rng(seed)
+    dg2 = 2 * (params.digits_g - 1)
+    key = jnp.asarray(rng.integers(0, Q, (n, 2, dg2, 2, N)), I32)
+    acc = jnp.asarray(rng.integers(0, Q, (B, 2, N)), I32)
+    a = jnp.asarray(rng.integers(0, params.q, (B, n)), I32)
+    return tables, params, key, acc, a
+
+
+def test_cggi_fused_bit_exact():
+    from mkfhe_tpu.acc import cggi
+
+    tables, params, key_arr, acc, a = _mk_cggi_case()
+    key = cggi.CGGIKey(key_arr)
+
+    fused.set_mode("off")
+    ref = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+
+    fused.set_mode("on")   # interpret-mode Pallas on CPU
+    got = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+
+    np.testing.assert_array_equal(got, ref)
+
+
+def _mk_xzw_case(N=256, k=2, n=3, B=4, binary=False, seed=1):
+    from mkfhe_tpu.params import UniEncParams
+
+    Q = nttm.previous_prime(nttm.first_prime(27, 2 * N), 2 * N)
+    params = UniEncParams(
+        k=k, N=N, Q=Q, q=2 * N, base_g=1 << 9,
+        method=BINFHE_METHOD.MKNTRU,
+        key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    tables = nttm.make_ntt_tables(N, Q)
+    rng = np.random.default_rng(seed)
+    dG = params.digits_g - 1
+    nb = 1 if binary else 2
+    from mkfhe_tpu.acc.xzw import UniEncKey
+    key = UniEncKey(
+        ek=jnp.asarray(rng.integers(0, Q, (k, nb, n, dG, 2, N)), I32),
+        ekstar=jnp.asarray(rng.integers(0, Q, (dG, 2, N)), I32),
+        pkey=jnp.asarray(rng.integers(0, Q, (k, dG, N)), I32))
+    acc = jnp.asarray(rng.integers(0, Q, (B, k, N)), I32)
+    c_all = jnp.asarray(rng.integers(0, 2 * N, (B, k, n)), I32)
+    return tables, params, key, acc, c_all
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_xzw_fused_bit_exact(binary):
+    from mkfhe_tpu.acc import xzw
+
+    tables, params, key, acc, c_all = _mk_xzw_case(binary=binary)
+
+    fused.set_mode("off")
+    ref = np.asarray(xzw.eval_acc(tables, params, key, acc, c_all, binary))
+
+    fused.set_mode("on")
+    got = np.asarray(xzw.eval_acc(tables, params, key, acc, c_all, binary))
+
+    np.testing.assert_array_equal(got, ref)
