@@ -242,3 +242,76 @@ def load_ap_vectors(path: str):
         cts["ctout_" + g] = load_ct("ctout_" + g)
     sk = _read(path, "sk", (n,))
     return params, tables, ek, cts, sk
+
+
+def load_lmkcdey_vectors(path: str):
+    """Load capture_lmkcdey STD128_LMKCDEY dumps -> (params, tables, ek,
+    cts, sk). Key layouts: bskey [n][dg2][2][N], autokey [w+1][dg][2][N]
+    (index 0 = key for 2N-5, 1..w = 5^i; rgsw-acc-lmkcdey.cpp:61-67), all
+    COEFFICIENT — NTT'd here with our tables."""
+    from .acc.lmkcdey import LMKCDEYKey
+    from .constants import BINFHE_PARAMSET, SecretKeyDist
+    from .ops.modmath import shoup_precompute
+    from .schemes.lwe import LWECiphertext, LWESwitchingKey
+    from .params import RGSWParams
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+
+    n, N = meta["n"], meta["N"]
+    q, Q, qks = meta["q"], meta["Q"], meta["qks"]
+    w = meta["numAutoKeys"]
+    dg = meta["digitsG"] - 1
+    dg2 = 2 * dg
+    dks, bks = meta["dks"], meta["bks"]
+    M = 2 * N
+
+    lwe_p = LWEParams(n=n, N=N, q=q, Q=Q, q_ks=qks, std=1.9, base_ks=bks,
+                      key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    rgsw_p = RGSWParams(N=N, Q=Q, q=q, base_g=meta["baseG"], base_r=32,
+                        method=BINFHE_METHOD.LMKCDEY, std=1.9,
+                        key_dist=SecretKeyDist.UNIFORM_TERNARY,
+                        num_auto_keys=w)
+    params = BinFHEParams(
+        paramset=BINFHE_PARAMSET.STD128_LMKCDEY,
+        method=BINFHE_METHOD.LMKCDEY, lwe=lwe_p, rgsw=rgsw_p)
+    tables = get_tables(N, Q)
+
+    evk = host_ntt_fwd(tables, _read(path, "bskey", (n, dg2, 2, N)))
+    ak = host_ntt_fwd(tables, _read(path, "autokey", (w + 1, dg, 2, N)))
+
+    ts = np.empty(w + 1, dtype=np.int64)
+    ts[0] = M - 5
+    for i in range(1, w + 1):
+        ts[i] = pow(5, i, M)
+    log_gen = np.zeros(M, dtype=np.int64)
+    log_gen[M - 1] = N // 2
+    gp = 1
+    for i in range(1, N // 2):
+        gp = gp * 5 % M
+        log_gen[gp] = i
+        log_gen[M - gp] = -i
+
+    bs = LMKCDEYKey(
+        evk=jnp.asarray(evk, I32), auto=jnp.asarray(ak, I32),
+        pow5=jnp.asarray(ts, I32), log_gen=jnp.asarray(log_gen, I32),
+        evk_sh=jnp.asarray(shoup_precompute(evk, Q)),
+        auto_sh=jnp.asarray(shoup_precompute(ak, Q)))
+    ksk = LWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
+        B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
+    ek = boot.RingGSWBTKey(bs=bs, ks=ksk)
+
+    def load_ct(name):
+        v = _read(path, name, (n + 1,))
+        return LWECiphertext(
+            jnp.asarray(v[:n], I32), jnp.asarray(v[n], I32))
+
+    cts = {"ct1": load_ct("ct1"), "ct2": load_ct("ct2")}
+    for g in ("or", "and", "nor", "nand", "xorf", "xnorf"):
+        cts["ctout_" + g] = load_ct("ctout_" + g)
+    sk = _read(path, "sk", (n,))
+    return params, tables, ek, cts, sk

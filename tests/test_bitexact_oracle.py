@@ -138,3 +138,29 @@ def test_ap_gates_bit_exact(gate):
     mism = int((np.asarray(out.a) != np.asarray(want.a)).sum())
     mism += int(np.asarray(out.b) != np.asarray(want.b))
     assert mism == 0, f"{gate}: {mism} components differ"
+
+
+LMK_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std128_lmkcdey")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(LMK_VEC, "ctout_nand.bin")),
+    reason="LMKCDEY oracle vectors not generated")
+@pytest.mark.parametrize("gate", ["or", "and", "nor", "nand", "xorf", "xnorf"])
+def test_lmkcdey_gates_bit_exact(gate):
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_lmkcdey_vectors
+
+    gate_enum = {
+        "or": BINGATE.OR, "and": BINGATE.AND, "nor": BINGATE.NOR,
+        "nand": BINGATE.NAND, "xorf": BINGATE.XOR_FAST,
+        "xnorf": BINGATE.XNOR_FAST}[gate]
+    params, tables, ek, cts, sk = load_lmkcdey_vectors(LMK_VEC)
+    out = boot.eval_bin_gate(
+        tables, params, gate_enum, ek, cts["ct1"], cts["ct2"])
+    want = cts["ctout_" + gate]
+    mism = int((np.asarray(out.a) != np.asarray(want.a)).sum())
+    mism += int(np.asarray(out.b) != np.asarray(want.b))
+    assert mism == 0, f"{gate}: {mism} components differ"
