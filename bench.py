@@ -94,6 +94,9 @@ def main():
     ap.add_argument("--party", type=int, default=2)
     ap.add_argument("--ntt", default="auto",
                     choices=["auto", "mxu_s8", "mxu", "butterfly"])
+    ap.add_argument("--fused", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="fused Pallas blind-rotation kernels")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="capture a jax.profiler trace into DIR")
     args = ap.parse_args()
@@ -121,13 +124,34 @@ def main():
                       % args.paramset)
         return metric, value, correct, dt
 
+    from mkfhe_tpu.ops import fused as _fused
+    if args.fused != "auto":
+        _fused.set_mode(args.fused)
+
+    def run_safe():
+        try:
+            return run()
+        except Exception as e:
+            if not _fused.enabled():
+                raise
+            # fused-kernel compile/runtime failure: fall back to the
+            # lax.scan path rather than losing the bench datapoint
+            print(f"# fused path failed ({type(e).__name__}); "
+                  "falling back to scan", file=sys.stderr, flush=True)
+            _fused.set_mode("off")
+            return run()
+
     if args.profile:
         import jax.profiler
 
         with jax.profiler.trace(args.profile):
-            metric, value, correct, dt = run()
+            metric, value, correct, dt = run_safe()
         print(f"# trace written to {args.profile}", flush=True)
     else:
+        metric, value, correct, dt = run_safe()
+    if not correct and _fused.enabled():
+        # exactness guard stage 0: drop the fused kernels first
+        _fused.set_mode("off")
         metric, value, correct, dt = run()
     while not correct and impl != "butterfly":
         # exactness guard: step down mxu_s8 -> mxu -> butterfly
@@ -146,6 +170,7 @@ def main():
         "batch": args.batch,
         "sec_per_batch": round(dt, 3),
         "ntt": impl,
+        "fused": _fused.enabled(),
         "correct": correct,
     }))
 

@@ -90,7 +90,7 @@ def _transform_s8(x_u32, w_ref, Q: int, n_limbs: int):
     for la, xl in enumerate(_limbs_s8(x_u32, n_limbs)):
         for lw in range(nw):
             part = jax.lax.dot_general(
-                xl, w_ref[lw], (((1,), (0,)), ((), ())),
+                xl, w_ref[np.int32(lw)], (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
             s_ = la + lw
             diag[s_] = part if s_ not in diag else diag[s_] + part
@@ -108,7 +108,7 @@ def _digits_transform_s8(dsh_u32, wf_ref, shift_row_u32, Q: int,
     for la, xl in enumerate(_limbs_s8(dsh_u32, n_limbs)):
         for lw in range(nw):
             part = jax.lax.dot_general(
-                xl, wf_ref[lw], (((1,), (0,)), ((), ())),
+                xl, wf_ref[np.int32(lw)], (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
             s_ = la + lw
             diag[s_] = part if s_ not in diag else diag[s_] + part
@@ -171,13 +171,13 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
         slot = jnp.asarray(slot, I32)
         return (
             pltpu.make_async_copy(ek_hbm.at[i], ek_buf.at[slot],
-                                  sems.at[0, slot]),
+                                  sems.at[np.int32(0), slot]),
             pltpu.make_async_copy(eksh_hbm.at[i], eksh_buf.at[slot],
-                                  sems.at[1, slot]),
+                                  sems.at[np.int32(1), slot]),
             pltpu.make_async_copy(monp_hbm.at[i, pl.ds(b0, BT)],
-                                  mp_buf.at[slot], sems.at[2, slot]),
+                                  mp_buf.at[slot], sems.at[np.int32(2), slot]),
             pltpu.make_async_copy(monn_hbm.at[i, pl.ds(b0, BT)],
-                                  mn_buf.at[slot], sems.at[3, slot]),
+                                  mn_buf.at[slot], sems.at[np.int32(3), slot]),
         )
 
     for d in dmas(0, 0):
@@ -238,7 +238,10 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
             new.append(barrett_reduce_u32(acc[:, c, :] + u0 + u1, Q))
         return jnp.stack(new, axis=1)                    # [BT, 2, N]
 
-    acc = jax.lax.fori_loop(0, n_steps, step, acc0)
+    # i32 loop bounds: with x64 enabled a python-int fori_loop carries an
+    # int64 induction var, which Mosaic cannot lower (no 64-bit lanes)
+    acc = jax.lax.fori_loop(
+        jnp.asarray(0, I32), jnp.asarray(n_steps, I32), step, acc0)
     out_ref[...] = acc.astype(I32)
 
 
@@ -278,6 +281,17 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
         _cggi_kernel, Q=Q, base_g=params.base_g, dg=dg,
         n_steps=n_steps, n_limbs_q=n_limbs_q)
 
+    # Trace the kernel with x64 OFF: under the package-wide x64 mode,
+    # python-int literals/loop counters trace as int64, and Mosaic has no
+    # 64-bit lanes (its i64->i32 convert fallback recurses forever). The
+    # kernel is all-32-bit by design, so 32-bit tracing is the truth.
+    with jax.enable_x64(False):
+        return _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr,
+                            eksh, monp, monn, winv, wfwd, shift)
+
+
+def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
+                 monp, monn, winv, wfwd, shift):
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -331,14 +345,14 @@ def _xzw_kernel(acc_ref, ek_hbm, monp_hbm, monn_hbm,
         slot = jnp.asarray(slot, I32)
         ops = [
             pltpu.make_async_copy(ek_hbm.at[i], ek_buf.at[slot],
-                                  sems.at[0, slot]),
+                                  sems.at[np.int32(0), slot]),
             pltpu.make_async_copy(monp_hbm.at[i, pl.ds(b0, BT)],
-                                  mp_buf.at[slot], sems.at[1, slot]),
+                                  mp_buf.at[slot], sems.at[np.int32(1), slot]),
         ]
         if not binary:
             ops.append(
                 pltpu.make_async_copy(monn_hbm.at[i, pl.ds(b0, BT)],
-                                      mn_buf.at[slot], sems.at[2, slot]))
+                                      mn_buf.at[slot], sems.at[np.int32(2), slot]))
         return ops
 
     for d in dmas(0, 0):
@@ -432,7 +446,8 @@ def _xzw_kernel(acc_ref, ek_hbm, monp_hbm, monn_hbm,
         add_w = jnp.where(kiota == u_idx, w[:, None, :], U32(0))
         return barrett_reduce_u32(acc + uj + add_w, Q)      # < 3Q
 
-    acc = jax.lax.fori_loop(0, n_steps, step, acc0)
+    acc = jax.lax.fori_loop(
+        jnp.asarray(0, I32), jnp.asarray(n_steps, I32), step, acc0)
     out_ref[...] = acc.astype(I32)
 
 
@@ -481,6 +496,14 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
         pltpu.VMEM((2, BT, N), I32),          # mon_n (dummy if binary)
         pltpu.SemaphoreType.DMA((3, 2)),
     ]
+    with jax.enable_x64(False):   # 32-bit kernel tracing (see cggi note)
+        return _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc,
+                           ek_steps, monp, monn, pkey, pkeysh, winv, wfwd,
+                           shift)
+
+
+def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
+                monp, monn, pkey, pkeysh, winv, wfwd, shift):
     return pl.pallas_call(
         kernel,
         grid=(B // BT,),
