@@ -1,11 +1,18 @@
 """Benchmark: gate bootstraps/sec per chip (NAND, 2-party MKNTRU).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
 
-vs_baseline is measured throughput / the BASELINE.json north-star target of
-10,000 bootstraps/sec/chip (the reference publishes no numbers of its own —
-BASELINE.md).
+Baseline semantics (BASELINE.md):
+  * vs_baseline / vs_ref_cpu — speedup over the measured reference CPU
+    (435 ms/gate for the headline MKNTRU config; the reference publishes
+    no numbers of its own).
+  * vs_north_star — fraction of the BASELINE.json target of 10,000
+    single-key bootstraps/sec/chip.
+Each run also carries MXU-roofline fields (mxu_macs_per_sec,
+efficiency_vs_peak vs the v5e int8 peak) and batch noise statistics
+(noise_p99, noise_margin_frac) — the "every modular kernel profiled
+against roofline" BASELINE bullet.
 
 Usage: python bench.py [--paramset STD100_MKNTRU] [--batch 64] [--reps 3]
        [--single-key]   (bench STD128 GINX instead)
@@ -23,6 +30,7 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
     import jax
     from mkfhe_tpu import BinFHEContext, boot
     from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+    from mkfhe_tpu.utils import metrics
 
     cc = BinFHEContext(seed=11)
     cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.MKNTRU)
@@ -46,16 +54,21 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
-    res = np.asarray(cc.Decrypt(sk, type(cc.ct_nand)(out)))
+    ct_out = type(cc.ct_nand)(np.asarray(out))
+    res = np.asarray(cc.Decrypt(sk, ct_out))
     want = 1 - (m1 & m2)
     correct = bool(np.array_equal(res, want))
-    return batch / dt, correct, dt
+    noise = metrics.noise_stats(
+        metrics.noise_mntru(cc.params.mntru, sk, ct_out, want),
+        cc.params.mntru.q)
+    return batch / dt, correct, dt, cc.params, noise
 
 
 def bench_ginx(paramset: str, batch: int, reps: int):
     import jax
     from mkfhe_tpu import BinFHEContext, boot
     from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+    from mkfhe_tpu.utils import metrics
 
     cc = BinFHEContext(seed=12)
     cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.GINX)
@@ -81,7 +94,9 @@ def bench_ginx(paramset: str, batch: int, reps: int):
     res = np.asarray(cc.Decrypt(sk, out))
     want = 1 - (m1 & m2)
     correct = bool(np.array_equal(res, want))
-    return batch / dt, correct, dt
+    noise = metrics.noise_stats(
+        metrics.noise_lwe(cc.params.lwe, sk, out, want), cc.params.lwe.q)
+    return batch / dt, correct, dt, cc.params, noise
 
 
 def main():
@@ -103,6 +118,7 @@ def main():
 
     import jax
     from mkfhe_tpu.ops import ntt as _ntt
+    from mkfhe_tpu.utils import metrics
     impl = args.ntt
     if impl == "auto":
         impl = "butterfly" if jax.default_backend() == "cpu" else "mxu_s8"
@@ -110,19 +126,20 @@ def main():
 
     def run():
         if args.sharded:
-            value, correct, dt, n_dev, party = bench_sharded(
+            value, correct, dt, n_dev, party, params, noise = bench_sharded(
                 args.paramset, args.batch, args.reps, args.party)
             metric = (f"sharded gate bootstraps/sec ({n_dev} devices, "
                       f"dp x party={party}, {args.paramset})")
         elif args.single_key:
-            value, correct, dt = bench_ginx("STD128", args.batch, args.reps)
+            value, correct, dt, params, noise = bench_ginx(
+                "STD128", args.batch, args.reps)
             metric = "single-key GINX NAND bootstraps/sec/chip (STD128)"
         else:
-            value, correct, dt = bench_mkntru(
+            value, correct, dt, params, noise = bench_mkntru(
                 args.paramset, args.batch, args.reps)
             metric = ("gate bootstraps/sec/chip (NAND, 2-party MKNTRU, %s)"
                       % args.paramset)
-        return metric, value, correct, dt
+        return metric, value, correct, dt, params, noise
 
     from mkfhe_tpu.ops import fused as _fused
     if args.fused != "auto":
@@ -145,33 +162,43 @@ def main():
         import jax.profiler
 
         with jax.profiler.trace(args.profile):
-            metric, value, correct, dt = run_safe()
+            out = run_safe()
         print(f"# trace written to {args.profile}", flush=True)
     else:
-        metric, value, correct, dt = run_safe()
+        out = run_safe()
+    metric, value, correct, dt, params, noise = out
     if not correct and _fused.enabled():
         # exactness guard stage 0: drop the fused kernels first
         _fused.set_mode("off")
-        metric, value, correct, dt = run()
+        metric, value, correct, dt, params, noise = run()
     while not correct and impl != "butterfly":
         # exactness guard: step down mxu_s8 -> mxu -> butterfly
         impl = {"mxu_s8": "mxu", "mxu": "butterfly"}[impl]
         _ntt.set_default_impl(impl)
-        metric, value, correct, dt = run()
+        metric, value, correct, dt, params, noise = run()
 
-    # vs_baseline: measured reference CPU = 435 ms/gate for the headline
-    # MKNTRU config (BASELINE.md 'Measured'); speedup vs that baseline.
+    # vs_baseline == vs_ref_cpu: measured reference CPU = 435 ms/gate for
+    # the headline MKNTRU config (BASELINE.md 'Measured').
     ref_gates_per_sec = 1000.0 / 435.0
+    north_star = 10_000.0
+    roof = metrics.mxu_roofline(params, 1.0 / value)
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
         "unit": "bootstraps/sec",
         "vs_baseline": round(value / ref_gates_per_sec, 3),
+        "vs_ref_cpu": round(value / ref_gates_per_sec, 3),
+        "vs_north_star": round(value / north_star, 4),
         "batch": args.batch,
         "sec_per_batch": round(dt, 3),
         "ntt": impl,
         "fused": _fused.enabled(),
         "correct": correct,
+        "mxu_macs_per_gate": roof["mxu_macs"],
+        "mxu_macs_per_sec": float(f"{roof['mxu_macs_per_sec']:.4g}"),
+        "efficiency_vs_peak": round(roof["efficiency_vs_peak"], 4),
+        "noise_p99": round(noise["p99"], 1),
+        "noise_margin_frac": round(noise["margin_frac"], 4),
     }))
 
 
@@ -186,6 +213,7 @@ def bench_sharded(paramset: str, batch: int, reps: int, party: int):
     from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
     from mkfhe_tpu.parallel import make_mesh, shard_mk_gate
     from mkfhe_tpu.schemes import mntru as mntru_mod
+    from mkfhe_tpu.utils import metrics
 
     cc = BinFHEContext(seed=11)
     cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.MKNTRU)
@@ -212,10 +240,14 @@ def bench_sharded(paramset: str, batch: int, reps: int, party: int):
         dt = (time.perf_counter() - t0) / reps
         out_np = np.asarray(out)
 
-    res = mntru_mod.decrypt(
-        cc.params.mntru, sk, mntru_mod.MNTRUCiphertext(out_np))
-    correct = bool(np.array_equal(res, 1 - (m1 & m2)))
-    return batch / dt, correct, dt, n_dev, party
+    ct_out = mntru_mod.MNTRUCiphertext(out_np)
+    res = mntru_mod.decrypt(cc.params.mntru, sk, ct_out)
+    want = 1 - (m1 & m2)
+    correct = bool(np.array_equal(res, want))
+    noise = metrics.noise_stats(
+        metrics.noise_mntru(cc.params.mntru, sk, ct_out, want),
+        cc.params.mntru.q)
+    return batch / dt, correct, dt, n_dev, party, cc.params, noise
 
 
 if __name__ == "__main__":

@@ -57,6 +57,16 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+_BT_MAX = 128    # batch-tile cap; overridable for tests (padding paths)
+
+
+def set_batch_tile(bt: int) -> None:
+    global _BT_MAX
+    if bt != _BT_MAX:
+        jax.clear_caches()
+    _BT_MAX = bt
+
+
 # ------------------------------------------------- in-kernel exact helpers
 
 def _limbs_s8(x_u32, n_limbs: int):
@@ -266,17 +276,26 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
     shift = jnp.asarray(
         _shift_row(tables, params.base_g).astype(np.int32))
 
+    # pad the batch up to a BT multiple (the kernel tiles the batch into
+    # fixed [BT, ...] blocks); the pad rows run on zeros and are sliced off
+    BT = min(B, _BT_MAX)
+    pad = (-B) % BT
+    if pad:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((pad,) + acc.shape[1:], acc.dtype)])
+        zc = jnp.zeros((pad, c_pos.shape[1]), c_pos.dtype)
+        c_pos = jnp.concatenate([c_pos, zc])
+        c_neg = jnp.concatenate([c_neg, zc])
+    Bp = B + pad
+
     # (X^c - 1) for every (step, batch) element in ONE batched one-hot
     # matmul — far better MXU shapes than per-step, and the kernel then
     # just streams [BT, N] rows
-    monp = nttm.monomial_minus_one_mxu(tables, c_pos.T)     # [n, B, N]
+    monp = nttm.monomial_minus_one_mxu(tables, c_pos.T)     # [n, Bp, N]
     monn = nttm.monomial_minus_one_mxu(tables, c_neg.T)
     eksh = _shoup_companions(key_arr, Q)
 
-    BT = min(B, 128)
-    assert B % BT == 0
-
-    grid = (B // BT,)
+    grid = (Bp // BT,)
     kernel = partial(
         _cggi_kernel, Q=Q, base_g=params.base_g, dg=dg,
         n_steps=n_steps, n_limbs_q=n_limbs_q)
@@ -286,8 +305,9 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
     # 64-bit lanes (its i64->i32 convert fallback recurses forever). The
     # kernel is all-32-bit by design, so 32-bit tracing is the truth.
     with jax.enable_x64(False):
-        return _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr,
-                            eksh, monp, monn, winv, wfwd, shift)
+        out = _pallas_cggi(kernel, grid, Bp, BT, N, dg2, mxu, acc, key_arr,
+                           eksh, monp, monn, winv, wfwd, shift)
+    return out[:B] if pad else out
 
 
 def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
@@ -474,7 +494,16 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
     shift = jnp.asarray(
         _shift_row(tables, params.base_g).astype(np.int32))
 
-    monp = nttm.monomial_minus_one_mxu(tables, c_steps)     # [S, B, N]
+    BT = min(B, _BT_MAX)
+    pad = (-B) % BT
+    if pad:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((pad,) + acc.shape[1:], acc.dtype)])
+        c_steps = jnp.concatenate(
+            [c_steps, jnp.zeros((S, pad), c_steps.dtype)], axis=1)
+    Bp = B + pad
+
+    monp = nttm.monomial_minus_one_mxu(tables, c_steps)     # [S, Bp, N]
     if binary:
         monn = jnp.zeros((1, 1, N), I32)                    # unused
     else:
@@ -482,8 +511,6 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
             tables, (2 * N - c_steps) % (2 * N))
     pkeysh = _shoup_companions(pkey, Q)
 
-    BT = min(B, 128)
-    assert B % BT == 0
     nb = 1 if binary else 2
 
     kernel = partial(
@@ -497,9 +524,10 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
         pltpu.SemaphoreType.DMA((3, 2)),
     ]
     with jax.enable_x64(False):   # 32-bit kernel tracing (see cggi note)
-        return _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc,
-                           ek_steps, monp, monn, pkey, pkeysh, winv, wfwd,
-                           shift)
+        out = _pallas_xzw(kernel, scratch, Bp, BT, k, dG, N, mxu, acc,
+                          ek_steps, monp, monn, pkey, pkeysh, winv, wfwd,
+                          shift)
+    return out[:B] if pad else out
 
 
 def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,

@@ -134,7 +134,7 @@ def barrett_mul(a, b, q: int, mu: int | None = None):
 # TPU VPUs have no 64-bit lanes: XLA emulates every s64/u64 op as a long
 # 32-bit sequence, and inside lax.scan bodies this dominates the whole
 # MKNTRU gate (measured 0.02-0.08 Gmulmod/s for the s64 `%` path vs
-# 1.0-1.2 G for the u32 forms below — tpu_session5.py). The hot paths
+# 1.0-1.2 G for the u32 forms below — tools/tpu_session5.py). The hot paths
 # therefore use ONLY u32 ops: mulhi via 16-bit partial products, Shoup
 # multiplication where one operand is precomputed, Barrett reduction for
 # dynamic x dynamic products. All are exact for q < 2**28.

@@ -351,7 +351,7 @@ limb tables via `with_mxu_tables(tables)`.
 
 _MXU_MARGIN_BITS = 0   # worst-case accumulation bound 2^(24 - margin).
                        # v5e MXU f32 accumulation is exact right up to 2^24
-                       # (tpu_probe_mxu.py); the earlier N=2048 failure was
+                       # (tools/tpu_probe_mxu.py); the earlier N=2048 failure was
                        # an int64 overflow in limb recombination, fixed by
                        # multiplying with (2^shift mod Q)
 
@@ -678,7 +678,7 @@ def _mxu_transform_s8(x, W_limbs_s8, Q: int):
     (same 2^(7s) weight): s32 partial sums within a diagonal (bounded by
     ~4 * 127^2 * N < 2^28 < Q-safe u32), then one all-u32 Shoup multiply
     per diagonal and a single Barrett reduce — no 64-bit ops (TPU VPUs
-    emulate s64 at ~30x the cost, tpu_session5.py)."""
+    emulate s64 at ~30x the cost, tools/tpu_session5.py)."""
     q_bits = (Q - 1).bit_length()
     na = -(-q_bits // 7)
     nw = W_limbs_s8.shape[0]

@@ -125,3 +125,63 @@ def roofline_report(params, sec_per_gate: float,
         "modmul_per_sec": achieved,
         "efficiency_vs_peak": achieved / peak_modmul_per_sec,
     }
+
+
+# v5e MXU int8 peak: 394.1 TOPS = 1.97e14 MAC/s (1 MAC = 2 ops).
+V5E_S8_MAC_PER_SEC = 1.97e14
+
+
+def mxu_gate_macs(params) -> dict:
+    """Analytical int8-MXU MAC count for ONE gate bootstrap on the fused
+    TPU path (ops/fused.py + ops/ntt.py s8 backend) — the numerator for
+    MXU roofline efficiency.
+
+    Counts one s8 multiply-accumulate as 1 MAC. Every exact transform of
+    R rows costs R * passes * N^2 MACs where passes = (input limbs) x
+    (twiddle-matrix limbs); the one-hot monomial matmul costs
+    rows * n_limbs * 2N * N.
+    """
+    if params.unienc is not None:
+        up = params.unienc
+        k, N, Q = up.k, up.N, up.Q
+        n = (params.mntru or params.mklwe).n
+        dG = up.digits_g - 1
+        base_g = up.base_g
+        steps = k * n
+        binary = params.mklwe is not None
+    else:
+        rp = params.rgsw
+        N, Q = rp.N, rp.Q
+        n = params.lwe.n
+        dG = rp.digits_g - 1
+        base_g = rp.base_g
+        steps = n
+        k = None
+        binary = False
+    qbits = (Q - 1).bit_length()
+    nq = -(-qbits // 7)            # limbs of a full-width [0, Q) input
+    nd = -(-max(1, (base_g - 1).bit_length()) // 7)  # digit-input limbs
+    if k is None:
+        # CGGI: per step INTT 2 rows @ nq*nq passes, digit fwd 2*dG rows
+        # @ nd*nq passes
+        kernel = steps * (2 * nq * nq + 2 * dG * nd * nq) * N * N
+        monomial = steps * 2 * nq * (2 * N) * N    # X^c-1 pos+neg one-hot
+    else:
+        # XZW: per step INTT (k+1) rows @ nq*nq, digit fwd dG*(k+1) rows
+        # @ nd*nq passes (HbProd both decompositions)
+        kernel = steps * ((k + 1) * nq * nq + dG * (k + 1) * nd * nq) * N * N
+        monomial = steps * (1 if binary else 2) * nq * (2 * N) * N
+    return {"mxu_macs": kernel + monomial, "steps": steps,
+            "limbs_q": nq, "limbs_digit": nd}
+
+
+def mxu_roofline(params, sec_per_gate: float,
+                 peak_mac_per_sec: float = V5E_S8_MAC_PER_SEC) -> dict:
+    """Fused-path roofline: achieved s8 MAC/s vs the v5e MXU peak."""
+    ops = mxu_gate_macs(params)
+    achieved = ops["mxu_macs"] / sec_per_gate
+    return {
+        **ops,
+        "mxu_macs_per_sec": achieved,
+        "efficiency_vs_peak": achieved / peak_mac_per_sec,
+    }
