@@ -76,13 +76,17 @@ def _gate_range(params: BinFHEParams, gate: BINGATE) -> tuple[int, int]:
     return q1, q2
 
 
-def make_gate_test_vector(params: BinFHEParams, gate: BINGATE, b) -> jnp.ndarray:
+def make_gate_test_vector(params: BinFHEParams, gate: BINGATE, b,
+                          p: int = 4) -> jnp.ndarray:
     """m poly for BootstrapGateCore (binfhe-base-scheme.cpp:1204-1230).
 
     b: [...] int32 mod q -> m: [..., N] int32 mod Q (COEFF format).
+    p: the inputs' plaintext modulus — the amplitude is Q/(2p)+1
+    (binfhe-base-scheme.cpp:1214, p read off the ciphertext; 6/8 for the
+    3/4-input gates).
     """
     lp = params.lwe
-    q, Q, N, p = lp.q, lp.Q, lp.N, 4
+    q, Q, N = lp.q, lp.Q, lp.N
     q_half = q >> 1
     factor = 2 * N // q
     q1, q2 = _gate_range(params, gate)
@@ -196,7 +200,7 @@ def _multi_gate_jit(tables, params, gate, ek, a, b, num_ct, p):
     prep = lwe.LWECiphertext(a[0], b[0])
     for i in range(1, num_ct):
         prep = lwe.eval_add(prep, lwe.LWECiphertext(a[i], b[i]), lp.q)
-    m = make_gate_test_vector(params, gate, prep.b)
+    m = make_gate_test_vector(params, gate, prep.b, p)
     acc = bootstrap_gate_core(tables, params, ek.bs, m, prep.a)
     return extract_and_switch(
         tables, params, ek.ks, acc, lp.Q // (2 * p) + 1)

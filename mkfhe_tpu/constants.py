@@ -62,6 +62,20 @@ class BINFHE_PARAMSET(enum.Enum):
     STD256 = "STD256"
     STD256Q = "STD256Q"
     SIGNED_MOD_TEST = "SIGNED_MOD_TEST"
+    # 3-bit / 4-bit plaintext-space sets (multi-input gates, EvalFunc at
+    # spec precision; binfhecontext.cpp:101-113)
+    STD128_3 = "STD128_3"
+    STD128_3_LMKCDEY = "STD128_3_LMKCDEY"
+    STD128Q_3_LMKCDEY = "STD128Q_3_LMKCDEY"
+    STD192Q_3 = "STD192Q_3"
+    STD256Q_3 = "STD256Q_3"
+    STD128_4 = "STD128_4"
+    STD128_4_LMKCDEY = "STD128_4_LMKCDEY"
+    STD128Q_4 = "STD128Q_4"
+    STD128Q_4_LMKCDEY = "STD128Q_4_LMKCDEY"
+    STD192Q_4 = "STD192Q_4"
+    STD256Q_4 = "STD256Q_4"
+    STD128_LMKCDEY_New = "STD128_LMKCDEY_New"
     # NTRU (single key, XZDDF)
     P128T = "P128T"
     P128G = "P128G"
@@ -131,6 +145,23 @@ PARAM_SETS = {
     BINFHE_PARAMSET.STD192Q:         ContextParams(1, 35, 4096, 875, 1024, 1 << 15, _STD, 32, 1 << 12, 32, 10, T),
     BINFHE_PARAMSET.STD256Q:         ContextParams(1, 27, 4096, 1225, 1024, 1 << 16, _STD, 16, 1 << 7, 32, 10, T),
     BINFHE_PARAMSET.SIGNED_MOD_TEST: ContextParams(1, 28, 2048, 512, 1024, PRIME, _STD, 25, 1 << 7, 23, 10, T),
+    # 3-bit / 4-bit plaintext-space sets (binfhecontext.cpp:101-113).
+    # NOTE: STD128Q_4 (numberBits=50) exceeds MAX_MODULUS_SIZE=28 of the
+    # reference's own recommended NATIVE_SIZE=32 build (basicint.h:56-61)
+    # and our int32 coefficient lanes alike; the row is kept for table
+    # parity and context creation rejects it with a clear error.
+    BINFHE_PARAMSET.STD128_3:          ContextParams(1, 27, 2048, 541, 1024, 1 << 15, _STD, 32, 1 << 7, 32, 10, T),
+    BINFHE_PARAMSET.STD128_3_LMKCDEY:  ContextParams(1, 28, 2048, 485, 1024, 1 << 15, _STD, 32, 1 << 10, 32, 10, G),
+    BINFHE_PARAMSET.STD128Q_3_LMKCDEY: ContextParams(1, 27, 2048, 524, 1024, 1 << 15, _STD, 32, 1 << 9, 32, 10, G),
+    BINFHE_PARAMSET.STD192Q_3:         ContextParams(1, 34, 4096, 922, 2048, 1 << 16, _STD, 16, 1 << 12, 32, 10, T),
+    BINFHE_PARAMSET.STD256Q_3:         ContextParams(1, 27, 4096, 1400, 4096, 1 << 16, _STD, 21, 1 << 6, 32, 10, T),
+    BINFHE_PARAMSET.STD128_4:          ContextParams(1, 27, 2048, 541, 2048, 1 << 15, _STD, 32, 1 << 7, 32, 10, T),
+    BINFHE_PARAMSET.STD128_4_LMKCDEY:  ContextParams(1, 28, 2048, 522, 2048, 1 << 15, _STD, 32, 1 << 10, 32, 10, G),
+    BINFHE_PARAMSET.STD128Q_4:         ContextParams(1, 50, 4096, 647, 2048, 1 << 16, _STD, 16, 1 << 25, 32, 10, T),
+    BINFHE_PARAMSET.STD128Q_4_LMKCDEY: ContextParams(1, 27, 2048, 524, 2048, 1 << 15, _STD, 32, 1 << 7, 32, 10, G),
+    BINFHE_PARAMSET.STD192Q_4:         ContextParams(1, 34, 4096, 980, 2048, 1 << 17, _STD, 16, 1 << 12, 32, 10, T),
+    BINFHE_PARAMSET.STD256Q_4:         ContextParams(1, 27, 4096, 1625, 4096, 1 << 21, _STD, 16, 1 << 6, 32, 10, T),
+    BINFHE_PARAMSET.STD128_LMKCDEY_New: ContextParams(1, 28, 2048, 446, 1024, 1 << 13, _STD, 1 << 5, 1 << 7, 32, 10, G),
     BINFHE_PARAMSET.STD128_LMKCDEY:  ContextParams(1, 28, 2048, 446, 1024, 1 << 13, _STD, 1 << 5, 1 << 10, 32, 10, G),
     BINFHE_PARAMSET.STD128_AP:       ContextParams(1, 27, 2048, 503, 1024, 1 << 14, _STD, 1 << 5, 1 << 9, 32, 10, T),
     BINFHE_PARAMSET.STD128:          ContextParams(1, 27, 2048, 503, 1024, 1 << 14, _STD, 1 << 5, 1 << 9, 32, 10, T),

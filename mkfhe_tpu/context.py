@@ -202,9 +202,13 @@ class BinFHEContext:
         return boot.eval_bin_gate(
             self.tables, self.params, gate, self.bt_key, ct1, ct2)
 
-    def EvalBinGateMulti(self, gate: BINGATE, cts: list) -> lwe.LWECiphertext:
+    def EvalBinGateMulti(self, gate: BINGATE, cts: list,
+                         p: int = 4) -> lwe.LWECiphertext:
+        """3/4-input gates + CMUX (binfhe-base-scheme.cpp:636-692). p is
+        the inputs' plaintext modulus (the reference reads it off the
+        ciphertexts' ptModulus: 6 for 3-input, 8 for 4-input gates)."""
         return boot.eval_bin_gate_multi(
-            self.tables, self.params, gate, self.bt_key, cts)
+            self.tables, self.params, gate, self.bt_key, cts, p)
 
     def EvalNOT(self, ct) -> lwe.LWECiphertext:
         return boot.eval_not(self.params, ct)

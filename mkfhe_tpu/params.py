@@ -184,6 +184,16 @@ def build_params_from(
     """Build from an explicit ContextParams row (the fully-custom context
     overload, binfhecontext.h:94-118 / binfhecontext.cpp:196-216)."""
     set_ = set_ or BINFHE_PARAMSET.TOY
+    if p.number_bits > 28:
+        # Same ceiling as the reference's recommended NATIVE_SIZE=32 build
+        # (MAX_MODULUS_SIZE=28, basicint.h:56-61): our coefficient lanes
+        # are int32 with all-u32 kernel arithmetic. Sets above 28 bits
+        # (STD192*, STD256, STD128Q_4) need 64-bit lanes — same as needing
+        # a NATIVE_SIZE=64 reference build.
+        raise NotImplementedError(
+            f"{set_}: number_bits={p.number_bits} > 28 exceeds the 32-bit "
+            "coefficient lanes (reference parity: MAX_MODULUS_SIZE=28 at "
+            "NATIVE_SIZE=32)")
     Q = derive_Q(p.number_bits, p.cycl_order)
     N = p.cycl_order // 2
     q_ks = Q if p.mod_ks == 0 else p.mod_ks
