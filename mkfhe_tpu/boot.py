@@ -100,9 +100,19 @@ def make_gate_test_vector(params: BinFHEParams, gate: BINGATE, b,
     else:
         vals = jnp.where((temp >= q2) & (temp < q1), Q2p, Q2pNeg)
 
-    m = jnp.zeros(b.shape + (N,), I32)
-    pos = np.arange(q_half) * factor
-    return m.at[..., pos].set(vals.astype(I32))
+    return _sparse_embed(vals.astype(I32), q_half, factor, N)
+
+
+def _sparse_embed(vals, q_half: int, factor: int, N: int):
+    """Place vals[..., j] at coefficient j*factor of an [..., N] poly —
+    the Z_Q[x]/(X^{q/2}+1) -> Z_Q[x]/(X^N+1) sparse embedding
+    (binfhe-base-scheme.cpp:1221-1230) as a zero-interleave reshape
+    (contiguous stores) instead of a strided scatter."""
+    if factor == 1:
+        return vals
+    z = jnp.zeros(vals.shape + (factor - 1,), vals.dtype)
+    return jnp.concatenate([vals[..., None], z], axis=-1).reshape(
+        *vals.shape[:-1], N)
 
 
 def make_func_test_vector(params: BinFHEParams, b, lut_vals) -> jnp.ndarray:
@@ -115,9 +125,7 @@ def make_func_test_vector(params: BinFHEParams, b, lut_vals) -> jnp.ndarray:
     j = jnp.arange(q >> 1, dtype=I64)
     temp = ((b[..., None].astype(I64) - j) % q).astype(jnp.int32)
     vals = lut_vals[temp]
-    m = jnp.zeros(b.shape + (N,), I32)
-    pos = np.arange(q >> 1) * factor
-    return m.at[..., pos].set(vals.astype(I32))
+    return _sparse_embed(vals.astype(I32), q >> 1, factor, N)
 
 
 # ------------------------------------------------------------- core + tail

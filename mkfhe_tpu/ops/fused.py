@@ -166,15 +166,52 @@ def _shoup_companions(y, Q: int):
 
 # ------------------------------------------------------ fused CGGI (GINX)
 
-def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
-                 winv_ref, wfwd_ref, shift_ref, out_ref,
-                 ek_buf, eksh_buf, mp_buf, mn_buf, sems,
+def _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, Q: int):
+    """(X^ci - 1) rows computed IN-KERNEL from the VMEM-resident hi/lo
+    split monomial tables (ops.ntt._get_pm_hilo_s8): two one-hot s8 dots
+    + one lazy Shoup combine. Replaces the HBM-streamed [BT, N] monomial
+    rows — the tables are ~0.7 MB total vs ~260 MB of per-gate rows.
+    ci: [BT] i32 in [0, 2N) -> [BT, N] u32 in [0, Q)."""
+    BT = ci.shape[0]
+    H = hi_ref.shape[1]
+    L = lo_ref.shape[1]
+
+    def select(idx, planes_ref, n_planes):
+        iota = jax.lax.broadcasted_iota(I32, (BT, planes_ref.shape[1]), 1)
+        oh = (idx[:, None] == iota).astype(jnp.int8)
+        acc = None
+        for l in range(n_planes):
+            part = jax.lax.dot_general(
+                oh, planes_ref[np.int32(l)], (((1,), (0,)), ((), ())),
+                preferred_element_type=I32)
+            part = part << (l * 7)
+            acc = part if acc is None else acc + part
+        return acc
+
+    c_hi = ci >> 6
+    c_lo = ci & (L - 1)
+    hi = select(c_hi, hi_ref, hi_ref.shape[0]).astype(U32)
+    lo = select(c_lo, lo_ref, lo_ref.shape[0]).astype(U32)
+    sh28 = select(c_lo, losh_ref, 4).astype(U32)
+    sh4 = losh_ref[np.int32(4)]
+    iota = jax.lax.broadcasted_iota(I32, (BT, L), 1)
+    oh = (c_lo[:, None] == iota).astype(jnp.int8)
+    p4 = jax.lax.dot_general(oh, sh4, (((1,), (0,)), ((), ())),
+                             preferred_element_type=I32)
+    lo_sh = sh28 | (p4.astype(U32) << U32(28))
+    r = shoup_mul_lazy_u32(hi, lo, lo_sh, Q)
+    r = jnp.where(r >= U32(Q), r - U32(Q), r)
+    return jnp.where(r == 0, U32(Q - 1), r - U32(1))
+
+
+def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
+                 winv_ref, wfwd_ref, shift_ref, hi_ref, lo_ref, losh_ref,
+                 out_ref, ek_buf, eksh_buf, sems,
                  *, Q: int, base_g: int, dg: int, n_steps: int,
                  n_limbs_q: int):
     BT = acc_ref.shape[0]
     N = acc_ref.shape[2]
     dg2 = 2 * dg
-    b0 = pl.program_id(0) * BT
 
     def dmas(i, slot):
         i = jnp.asarray(i, I32)
@@ -184,10 +221,6 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
                                   sems.at[np.int32(0), slot]),
             pltpu.make_async_copy(eksh_hbm.at[i], eksh_buf.at[slot],
                                   sems.at[np.int32(1), slot]),
-            pltpu.make_async_copy(monp_hbm.at[i, pl.ds(b0, BT)],
-                                  mp_buf.at[slot], sems.at[np.int32(2), slot]),
-            pltpu.make_async_copy(monn_hbm.at[i, pl.ds(b0, BT)],
-                                  mn_buf.at[slot], sems.at[np.int32(3), slot]),
         )
 
     for d in dmas(0, 0):
@@ -208,8 +241,8 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
 
         ek = ek_buf[slot]                    # [2, dg2, 2, N] i32
         eksh = eksh_buf[slot]                # [2, dg2, 2, N] u32
-        mp = mp_buf[slot].astype(U32)        # [BT, N]
-        mn = mn_buf[slot].astype(U32)
+        mp = _mono_from_tables(cpos_ref[i], hi_ref, lo_ref, losh_ref, Q)
+        mn = _mono_from_tables(cneg_ref[i], hi_ref, lo_ref, losh_ref, Q)
 
         # INTT both RLWE components at once
         coeff = _transform_s8(
@@ -256,7 +289,8 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, monp_hbm, monn_hbm,
 
 
 @partial(jax.jit, static_argnames=("params",))
-def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
+def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
+                    key_sh=None):
     """Full GINX blind rotation in one pallas_call.
 
     key_arr: [n, 2, dg2, 2, N] i32; acc: [B, 2, N] i32 EVAL;
@@ -288,12 +322,15 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
         c_neg = jnp.concatenate([c_neg, zc])
     Bp = B + pad
 
-    # (X^c - 1) for every (step, batch) element in ONE batched one-hot
-    # matmul — far better MXU shapes than per-step, and the kernel then
-    # just streams [BT, N] rows
-    monp = nttm.monomial_minus_one_mxu(tables, c_pos.T)     # [n, Bp, N]
-    monn = nttm.monomial_minus_one_mxu(tables, c_neg.T)
-    eksh = _shoup_companions(key_arr, Q)
+    # Shoup companions: precomputed at keygen (CGGIKey.key_sh); the
+    # in-graph u64-divide fallback only runs for raw test keys
+    eksh = key_sh if key_sh is not None else _shoup_companions(key_arr, Q)
+
+    # hi/lo monomial tables (VMEM-resident in the kernel; (X^c - 1) rows
+    # are computed in-kernel per step — no HBM monomial stream)
+    hi_l, lo_l, losh_l = nttm._get_pm_hilo_s8(tables)
+    hi_t, lo_t, losh_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
+                          jnp.asarray(losh_l))
 
     grid = (Bp // BT,)
     kernel = partial(
@@ -306,12 +343,14 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg):
     # kernel is all-32-bit by design, so 32-bit tracing is the truth.
     with jax.enable_x64(False):
         out = _pallas_cggi(kernel, grid, Bp, BT, N, dg2, mxu, acc, key_arr,
-                           eksh, monp, monn, winv, wfwd, shift)
+                           eksh, c_pos.T, c_neg.T, winv, wfwd, shift,
+                           hi_t, lo_t, losh_t)
     return out[:B] if pad else out
 
 
 def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
-                 monp, monn, winv, wfwd, shift):
+                 cpos, cneg, winv, wfwd, shift, hi_t, lo_t, losh_t):
+    n_steps = cpos.shape[0]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -321,59 +360,59 @@ def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # ek (HBM)
             pl.BlockSpec(memory_space=pl.ANY),     # ek_sh
-            pl.BlockSpec(memory_space=pl.ANY),     # monp
-            pl.BlockSpec(memory_space=pl.ANY),     # monn
+            pl.BlockSpec((n_steps, BT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),  # c_pos
+            pl.BlockSpec((n_steps, BT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),  # c_neg
             pl.BlockSpec((mxu.W_inv_s8.shape[0], N, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mxu.W_fwd_s8.shape[0], N, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(hi_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),  # monomial hi planes
+            pl.BlockSpec(lo_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),  # monomial lo planes
+            pl.BlockSpec(losh_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),  # lo Shoup planes
         ],
         out_specs=pl.BlockSpec((BT, 2, N), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, 2, dg2, 2, N), I32),   # ek double buffer
             pltpu.VMEM((2, 2, dg2, 2, N), U32),   # ek_sh
-            pltpu.VMEM((2, BT, N), I32),          # mon_p
-            pltpu.VMEM((2, BT, N), I32),          # mon_n
-            pltpu.SemaphoreType.DMA((4, 2)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(acc, key_arr, eksh, monp, monn, winv, wfwd, shift)
+    )(acc, key_arr, eksh, cpos, cneg, winv, wfwd, shift, hi_t, lo_t, losh_t)
 
 
 # ------------------------------------------------- fused XZW / XZW_B (MK)
 
-def _xzw_kernel(acc_ref, ek_hbm, monp_hbm, monn_hbm,
+def _xzw_kernel(acc_ref, ek_hbm, c_ref,
                 pkey_ref, pkeysh_ref, winv_ref, wfwd_ref, shift_ref,
-                out_ref, ek_buf, mp_buf, mn_buf, sems,
+                hi_ref, lo_ref, losh_ref,
+                out_ref, ek_buf, sems,
                 *, Q: int, base_g: int, dG: int, n_steps: int,
                 n_limbs_q: int, k: int, n_per_user: int, binary: bool):
     """Steps 1..k*n-1 of UniEnc EvalAcc (mk-acc-xzw.cpp:89-130; HbProd
     :231-290). Mirrors acc/xzw.py `step` operation-for-operation in u32
-    so outputs are bit-equal to the s64 scan."""
+    so outputs are bit-equal to the s64 scan. Monomial (X^c - 1) rows are
+    computed in-kernel from the VMEM hi/lo tables (see _mono_from_tables)."""
     BT = acc_ref.shape[0]
     N = acc_ref.shape[2]
-    b0 = pl.program_id(0) * BT
     nb = 1 if binary else 2
 
     def dmas(i, slot):
         i = jnp.asarray(i, I32)
         slot = jnp.asarray(slot, I32)
-        ops = [
+        return [
             pltpu.make_async_copy(ek_hbm.at[i], ek_buf.at[slot],
                                   sems.at[np.int32(0), slot]),
-            pltpu.make_async_copy(monp_hbm.at[i, pl.ds(b0, BT)],
-                                  mp_buf.at[slot], sems.at[np.int32(1), slot]),
         ]
-        if not binary:
-            ops.append(
-                pltpu.make_async_copy(monn_hbm.at[i, pl.ds(b0, BT)],
-                                      mn_buf.at[slot], sems.at[np.int32(2), slot]))
-        return ops
 
     for d in dmas(0, 0):
         d.start()
@@ -395,14 +434,16 @@ def _xzw_kernel(acc_ref, ek_hbm, monp_hbm, monn_hbm,
             d.wait()
 
         ek = ek_buf[slot]                      # [nb, dG, 2, N] i32
-        mp = mp_buf[slot].astype(U32)          # [BT, N]
+        ci = c_ref[i]                          # [BT] in [0, 2N)
+        mp = _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, Q)
 
         # df rows (mk-acc-xzw.cpp:322-325): ternary
         # df = ev1 - ev2*(X^{-c}-1) - ev2; binary df = ev1.
         if binary:
             df = None                          # use ek[0] directly
         else:
-            mn = mn_buf[slot].astype(U32)      # [BT, N]
+            ci_neg = jnp.where(ci == 0, I32(0), I32(2 * N) - ci)
+            mn = _mono_from_tables(ci_neg, hi_ref, lo_ref, losh_ref, Q)
             t2 = mulmod_u32(
                 ek[1][None].astype(U32), mn[:, None, None, :], Q)
             df = barrett_reduce_u32(
@@ -503,13 +544,10 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
             [c_steps, jnp.zeros((S, pad), c_steps.dtype)], axis=1)
     Bp = B + pad
 
-    monp = nttm.monomial_minus_one_mxu(tables, c_steps)     # [S, Bp, N]
-    if binary:
-        monn = jnp.zeros((1, 1, N), I32)                    # unused
-    else:
-        monn = nttm.monomial_minus_one_mxu(
-            tables, (2 * N - c_steps) % (2 * N))
     pkeysh = _shoup_companions(pkey, Q)
+    hi_l, lo_l, losh_l = nttm._get_pm_hilo_s8(tables)
+    hi_t, lo_t, losh_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
+                          jnp.asarray(losh_l))
 
     nb = 1 if binary else 2
 
@@ -519,19 +557,19 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
 
     scratch = [
         pltpu.VMEM((2, nb, dG, 2, N), I32),   # ek double buffer
-        pltpu.VMEM((2, BT, N), I32),          # mon_p
-        pltpu.VMEM((2, BT, N), I32),          # mon_n (dummy if binary)
-        pltpu.SemaphoreType.DMA((3, 2)),
+        pltpu.SemaphoreType.DMA((1, 2)),
     ]
     with jax.enable_x64(False):   # 32-bit kernel tracing (see cggi note)
         out = _pallas_xzw(kernel, scratch, Bp, BT, k, dG, N, mxu, acc,
-                          ek_steps, monp, monn, pkey, pkeysh, winv, wfwd,
-                          shift)
+                          ek_steps, c_steps, pkey, pkeysh, winv, wfwd,
+                          shift, hi_t, lo_t, losh_t)
     return out[:B] if pad else out
 
 
 def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
-                monp, monn, pkey, pkeysh, winv, wfwd, shift):
+                c_steps, pkey, pkeysh, winv, wfwd, shift, hi_t, lo_t,
+                losh_t):
+    n_steps = c_steps.shape[0]
     return pl.pallas_call(
         kernel,
         grid=(B // BT,),
@@ -540,8 +578,8 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
             pl.BlockSpec((BT, k, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # ek steps (HBM)
-            pl.BlockSpec(memory_space=pl.ANY),     # monp
-            pl.BlockSpec(memory_space=pl.ANY),     # monn
+            pl.BlockSpec((n_steps, BT), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),  # c indices
             pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
@@ -552,6 +590,12 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(hi_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(lo_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(losh_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BT, k, N), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -559,4 +603,5 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(acc, ek_steps, monp, monn, pkey, pkeysh, winv, wfwd, shift)
+    )(acc, ek_steps, c_steps, pkey, pkeysh, winv, wfwd, shift,
+      hi_t, lo_t, losh_t)

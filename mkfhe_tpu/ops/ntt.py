@@ -504,59 +504,63 @@ def ntt_inv_mxu(tables: "NTTTables", mxu: MXUTables, a):
 
 # ------------------------------------------------- one-hot monomial table
 
-_PM1_S8_CACHE: dict = {}
+_PM_HILO_CACHE: dict = {}
+_MONO_LO = 64     # low-table size; hi table is 2N/_MONO_LO rows
 
 
-def _get_pm1_s8(tables: "NTTTables") -> np.ndarray:
-    """s8 limb decomposition of the full monomial table
-    M[m, j] = (psi^{e_j * m} - 1) mod Q, shape [n_limbs, 2N, N].
+def _get_pm_hilo_s8(tables: "NTTTables"):
+    """Two-level monomial tables, s8 limb planes.
 
-    This resurrects the reference's precomputed X^m - 1 table
-    (mk-cryptoparameters.cpp:53-70) in MXU form: a one-hot [B, 2N] s8
-    matmul against it replaces the dynamic gather, which runs on the
-    TPU's scalar path at ~75M elem/s (measured: one [128, 2048] gather
-    costs ~3.2 ms — the dominant cost of the whole blind-rotation step).
+    T_lo[m, j] = psi^{e_j * m}            for m in [0, 64)
+    T_hi[h, j] = psi^{e_j * 64 * h}       for h in [0, 2N/64)
+
+    so the EVAL image of X^c is T_hi[c >> 6] * T_lo[c & 63] pointwise
+    mod Q. Replaces the flat [2N, N] table whose [R, 2N] one-hot build
+    dominated the gate profile (or_select fusion, ~18% of device time).
     """
     key = (tables.N, tables.Q)
-    hit = _PM1_S8_CACHE.get(key)
+    hit = _PM_HILO_CACHE.get(key)
     if hit is not None:
         return hit
     N, Q = tables.N, tables.Q
-    host = _host_tables(N, Q)
+    L = _MONO_LO
+    H = (2 * N) // L
     psi = root_of_unity(2 * N, Q)
     pows = np.ones(2 * N, dtype=np.int64)
     for i in range(1, 2 * N):
         pows[i] = pows[i - 1] * psi % Q
+    host = _host_tables(N, Q)
     one_hot_x = np.zeros(N, dtype=np.int64)
     one_hot_x[1] = 1
     img = _np_ntt_fwd_1(one_hot_x, host.psi_brv, N, Q)
     dlog = {int(pows[i]): i for i in range(2 * N)}
     slot_exp = np.array([dlog[int(v)] for v in img], dtype=np.int64)
-    m = np.arange(2 * N, dtype=np.int64)[:, None]
-    M = (pows[(slot_exp[None, :] * m) % (2 * N)] - 1) % Q      # [2N, N]
+
+    m_lo = np.arange(L, dtype=np.int64)[:, None]
+    m_hi = np.arange(H, dtype=np.int64)[:, None]
+    T_lo = pows[(slot_exp[None, :] * m_lo) % (2 * N)]          # [L, N]
+    T_hi = pows[(slot_exp[None, :] * (L * m_hi)) % (2 * N)]    # [H, N]
+    T_lo_sh = (T_lo.astype(object) << 32) // Q                 # Shoup comp.
+    T_lo_sh = np.asarray(T_lo_sh.astype(np.int64))
     q_bits = (Q - 1).bit_length()
     nl = -(-q_bits // 7)
-    limbs = np.stack([((M >> (l * 7)) & 127).astype(np.int8)
-                      for l in range(nl)])
-    _PM1_S8_CACHE[key] = limbs
-    return limbs
+    lo = np.stack([((T_lo >> (l * 7)) & 127).astype(np.int8)
+                   for l in range(nl)])
+    hi = np.stack([((T_hi >> (l * 7)) & 127).astype(np.int8)
+                   for l in range(nl)])
+    losh = np.stack([((T_lo_sh >> (l * 7)) & 127).astype(np.int8)
+                     for l in range(5)])                       # 32-bit comp.
+    _PM_HILO_CACHE[key] = (hi, lo, losh)
+    return hi, lo, losh
 
 
-def monomial_minus_one_mxu(tables: "NTTTables", c):
-    """(X^c - 1) in EVAL form via one-hot s8 MXU dots — exact.
-
-    c: int array [...] in [0, 2N) -> [..., N] int32 in [0, Q).
-
-    Each dot against a 7-bit limb of the monomial table selects exactly
-    one row, so the s32 partials ARE the limb values; recombination is
-    pure s32 shifts+adds (result < Q < 2**28) — no s64, no reduction.
-    """
-    N = tables.N
-    lead = c.shape
-    c2 = c.reshape(-1).astype(I32)                            # [M]
-    limbs = _get_pm1_s8(tables)
-    iota = jax.lax.broadcasted_iota(I32, (c2.shape[0], 2 * N), 1)
-    onehot = (c2[:, None] == iota).astype(jnp.int8)           # [M, 2N]
+def _onehot_rows_s8(idx, limbs):
+    """Select rows of a limb-decomposed table by one-hot s8 matmul.
+    idx: [M] int32 in [0, K); limbs: [nl, K, N] int8 -> [M, N] i32 exact
+    (single selected row per dot, so shifts+adds need no reduction)."""
+    K = limbs.shape[1]
+    iota = jax.lax.broadcasted_iota(I32, (idx.shape[0], K), 1)
+    onehot = (idx[:, None] == iota).astype(jnp.int8)
     acc = None
     for l in range(limbs.shape[0]):
         part = jax.lax.dot_general(
@@ -564,7 +568,37 @@ def monomial_minus_one_mxu(tables: "NTTTables", c):
             preferred_element_type=I32)
         part = part << (l * 7)
         acc = part if acc is None else acc + part
-    return acc.reshape(*lead, N)
+    return acc
+
+
+def monomial_minus_one_mxu(tables: "NTTTables", c):
+    """(X^c - 1) in EVAL form — exact, via one-hot s8 MXU dots against the
+    hi/lo split tables plus one pointwise Shoup multiply.
+
+    c: int array [...] in [0, 2N) -> [..., N] int32 in [0, Q).
+
+    The lo rows come with one-hot-selected Shoup companions, so the
+    pointwise combine is a single lazy Shoup product + one conditional
+    subtract (~10 VPU ops/element) instead of a generic Barrett mulmod.
+    """
+    from .modmath import U32, reduce_once_u32, shoup_mul_lazy_u32
+
+    N, Q = tables.N, tables.Q
+    lead = c.shape
+    c2 = c.reshape(-1).astype(I32)                            # [M]
+    hi_l, lo_l, losh_l = _get_pm_hilo_s8(tables)
+    c_lo = c2 & (_MONO_LO - 1)
+    hi = _onehot_rows_s8(c2 >> 6, hi_l)                       # [M, N] in [0,Q)
+    lo = _onehot_rows_s8(c_lo, lo_l)
+    # 32-bit Shoup companions: low 4 planes (28 bits) sum exactly in s32,
+    # plane 4 carries bits 28..31
+    lo_sh28 = _onehot_rows_s8(c_lo, losh_l[:4]).astype(U32)
+    sh4 = _onehot_rows_s8(c_lo, losh_l[4:5])                  # plane 4 value
+    lo_sh = lo_sh28 | (sh4.astype(U32) << 28)
+    r = shoup_mul_lazy_u32(hi.astype(U32), lo.astype(U32), lo_sh, Q)
+    r = reduce_once_u32(r, Q)                                 # psi^{e_j c}
+    out = jnp.where(r == 0, U32(Q - 1), r - U32(1)).astype(I32)
+    return out.reshape(*lead, N)
 
 
 # ------------------------------------------------------------ host keygen

@@ -115,7 +115,9 @@ def load_ginx_vectors(path: str):
 
     bs_coeff = _read(path, "bskey", (n, 2, dg2, 2, N))
     bs_eval = host_ntt_fwd(tables, bs_coeff)
-    bs = CGGIKey(jnp.asarray(bs_eval, I32))
+    bs_sh = (bs_eval.astype(np.uint64) << np.uint64(32)) // np.uint64(Q)
+    bs = CGGIKey(jnp.asarray(bs_eval, I32),
+                 key_sh=jnp.asarray(bs_sh.astype(np.uint32)))
     ksk = LWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))

@@ -161,16 +161,20 @@ def mxu_gate_macs(params) -> dict:
     qbits = (Q - 1).bit_length()
     nq = -(-qbits // 7)            # limbs of a full-width [0, Q) input
     nd = -(-max(1, (base_g - 1).bit_length()) // 7)  # digit-input limbs
+    # in-kernel hi/lo monomial build (fused._mono_from_tables): per sign
+    # per ct, 4 planes vs the [2N/64, N] hi table + (4 value + 5 Shoup)
+    # planes vs the [64, N] lo table
+    mono_ct = nq * ((2 * N) // 64) * N + (nq + 5) * 64 * N
     if k is None:
         # CGGI: per step INTT 2 rows @ nq*nq passes, digit fwd 2*dG rows
         # @ nd*nq passes
         kernel = steps * (2 * nq * nq + 2 * dG * nd * nq) * N * N
-        monomial = steps * 2 * nq * (2 * N) * N    # X^c-1 pos+neg one-hot
+        monomial = steps * 2 * mono_ct
     else:
         # XZW: per step INTT (k+1) rows @ nq*nq, digit fwd dG*(k+1) rows
         # @ nd*nq passes (HbProd both decompositions)
         kernel = steps * ((k + 1) * nq * nq + dG * (k + 1) * nd * nq) * N * N
-        monomial = steps * (1 if binary else 2) * nq * (2 * N) * N
+        monomial = steps * (1 if binary else 2) * mono_ct
     return {"mxu_macs": kernel + monomial, "steps": steps,
             "limbs_q": nq, "limbs_digit": nd}
 
