@@ -57,7 +57,8 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-_BT_MAX = 128    # batch-tile cap; overridable for tests (padding paths)
+_BT_MAX = 256    # batch-tile cap (measured best on v5e; see BASELINE.md);
+                 # overridable for tests (padding paths)
 
 
 def set_batch_tile(bt: int) -> None:
@@ -78,9 +79,12 @@ def _limbs_s8(x_u32, n_limbs: int):
     return out
 
 
-def _recombine(diag: dict, Q: int, extra=None):
-    """Diagonal s32 partials -> [0, Q) u32 (ops.ntt
-    _recombine_diagonals_u32, inlined so the kernel has no module dep)."""
+def _recombine(diag: dict, Q: int, extra=None, lazy: bool = False):
+    """Diagonal s32 partials -> u32 (ops.ntt _recombine_diagonals_u32,
+    inlined so the kernel has no module dep). With lazy=True the final
+    Barrett is skipped and the result is a congruent value < (2D+1)*Q
+    (D diagonals) — valid as the arbitrary-u32 x operand of
+    shoup_mul_lazy_u32 / mulmod_u32 downstream."""
     acc = None
     for s_, part in diag.items():
         c = pow(2, 7 * s_, Q)
@@ -89,7 +93,7 @@ def _recombine(diag: dict, Q: int, extra=None):
         acc = term if acc is None else acc + term
     if extra is not None:
         acc = acc + extra
-    return barrett_reduce_u32(acc, Q)
+    return acc if lazy else barrett_reduce_u32(acc, Q)
 
 
 def _transform_s8(x_u32, w_ref, Q: int, n_limbs: int):
@@ -108,10 +112,11 @@ def _transform_s8(x_u32, w_ref, Q: int, n_limbs: int):
 
 
 def _digits_transform_s8(dsh_u32, wf_ref, shift_row_u32, Q: int,
-                         base: int):
+                         base: int, lazy: bool = False):
     """Forward NTT of SHIFTED digits in [0, base): fewer input limbs +
     the constant-shift image folded into the lazy sum (ops.ntt
-    _digits_fwd_s8). dsh: [R, N]; shift_row: [1, N] u32 in [0, Q)."""
+    _digits_fwd_s8). dsh: [R, N]; shift_row: [1, N] u32 in [0, Q).
+    lazy=True returns congruent values < (2D+1)*Q (see _recombine)."""
     n_limbs = -(-max(1, (base - 1).bit_length()) // 7)
     nw = wf_ref.shape[0]
     diag = {}
@@ -123,7 +128,7 @@ def _digits_transform_s8(dsh_u32, wf_ref, shift_row_u32, Q: int,
             s_ = la + lw
             diag[s_] = part if s_ not in diag else diag[s_] + part
     extra = jnp.broadcast_to(shift_row_u32, dsh_u32.shape)
-    return _recombine(diag, Q, extra=extra)
+    return _recombine(diag, Q, extra=extra, lazy=lazy)
 
 
 def _signed_digits(a_u32, Q: int, base: int, digits: int):
@@ -166,47 +171,60 @@ def _shoup_companions(y, Q: int):
 
 # ------------------------------------------------------ fused CGGI (GINX)
 
-def _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, Q: int):
-    """(X^ci - 1) rows computed IN-KERNEL from the VMEM-resident hi/lo
-    split monomial tables (ops.ntt._get_pm_hilo_s8): two one-hot s8 dots
-    + one lazy Shoup combine. Replaces the HBM-streamed [BT, N] monomial
-    rows — the tables are ~0.7 MB total vs ~260 MB of per-gate rows.
-    ci: [BT] i32 in [0, 2N) -> [BT, N] u32 in [0, Q)."""
+def _select_rows(oh, planes_ref, n_planes, shoup32: bool):
+    """Reassemble table rows picked by a one-hot s8 matrix from 7-bit limb
+    planes. shoup32: planes carry a 32-bit value (4 low planes summed in
+    s32 + plane 4 at bits 28..31)."""
+    acc = None
+    n_sum = 4 if shoup32 else n_planes
+    for l in range(n_sum):
+        part = jax.lax.dot_general(
+            oh, planes_ref[np.int32(l)], (((1,), (0,)), ((), ())),
+            preferred_element_type=I32)
+        part = part << (l * 7)
+        acc = part if acc is None else acc + part
+    if not shoup32:
+        return acc.astype(U32)
+    p4 = jax.lax.dot_general(
+        oh, planes_ref[np.int32(4)], (((1,), (0,)), ((), ())),
+        preferred_element_type=I32)
+    return acc.astype(U32) | (p4.astype(U32) << U32(28))
+
+
+def _mono_selects(ci, hi_ref, lo_ref, losh_ref, hish_ref):
+    """One-hot select the (hi, hi_sh, lo, lo_sh) rows of X^ci from the
+    VMEM hi/lo monomial tables (ops.ntt._get_pm_hilo_s8). The caller
+    applies X^ci to a value v as shoup(shoup(v, hi, hi_sh), lo, lo_sh) —
+    i.e. (X^ci - 1)*v = that minus v, with no per-element table build.
+    ci: [BT] i32 in [0, 2N)."""
     BT = ci.shape[0]
     H = hi_ref.shape[1]
     L = lo_ref.shape[1]
-
-    def select(idx, planes_ref, n_planes):
-        iota = jax.lax.broadcasted_iota(I32, (BT, planes_ref.shape[1]), 1)
-        oh = (idx[:, None] == iota).astype(jnp.int8)
-        acc = None
-        for l in range(n_planes):
-            part = jax.lax.dot_general(
-                oh, planes_ref[np.int32(l)], (((1,), (0,)), ((), ())),
-                preferred_element_type=I32)
-            part = part << (l * 7)
-            acc = part if acc is None else acc + part
-        return acc
-
     c_hi = ci >> 6
     c_lo = ci & (L - 1)
-    hi = select(c_hi, hi_ref, hi_ref.shape[0]).astype(U32)
-    lo = select(c_lo, lo_ref, lo_ref.shape[0]).astype(U32)
-    sh28 = select(c_lo, losh_ref, 4).astype(U32)
-    sh4 = losh_ref[np.int32(4)]
-    iota = jax.lax.broadcasted_iota(I32, (BT, L), 1)
-    oh = (c_lo[:, None] == iota).astype(jnp.int8)
-    p4 = jax.lax.dot_general(oh, sh4, (((1,), (0,)), ((), ())),
-                             preferred_element_type=I32)
-    lo_sh = sh28 | (p4.astype(U32) << U32(28))
-    r = shoup_mul_lazy_u32(hi, lo, lo_sh, Q)
+    iota_h = jax.lax.broadcasted_iota(I32, (BT, H), 1)
+    oh_h = (c_hi[:, None] == iota_h).astype(jnp.int8)
+    iota_l = jax.lax.broadcasted_iota(I32, (BT, L), 1)
+    oh_l = (c_lo[:, None] == iota_l).astype(jnp.int8)
+    hi = _select_rows(oh_h, hi_ref, hi_ref.shape[0], False)
+    hish = _select_rows(oh_h, hish_ref, 5, True)
+    lo = _select_rows(oh_l, lo_ref, lo_ref.shape[0], False)
+    losh = _select_rows(oh_l, losh_ref, 5, True)
+    return hi, hish, lo, losh
+
+
+def _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, hish_ref, Q: int):
+    """(X^ci - 1) rows in [0, Q) — materialized form (XZW acctemp path).
+    ci: [BT] i32 in [0, 2N) -> [BT, N] u32 in [0, Q)."""
+    hi, _, lo, losh = _mono_selects(ci, hi_ref, lo_ref, losh_ref, hish_ref)
+    r = shoup_mul_lazy_u32(hi, lo, losh, Q)
     r = jnp.where(r >= U32(Q), r - U32(Q), r)
     return jnp.where(r == 0, U32(Q - 1), r - U32(1))
 
 
 def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
                  winv_ref, wfwd_ref, shift_ref, hi_ref, lo_ref, losh_ref,
-                 out_ref, ek_buf, eksh_buf, sems,
+                 hish_ref, out_ref, ek_buf, eksh_buf, sems,
                  *, Q: int, base_g: int, dg: int, n_steps: int,
                  n_limbs_q: int):
     BT = acc_ref.shape[0]
@@ -241,10 +259,13 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
 
         ek = ek_buf[slot]                    # [2, dg2, 2, N] i32
         eksh = eksh_buf[slot]                # [2, dg2, 2, N] u32
-        mp = _mono_from_tables(cpos_ref[i], hi_ref, lo_ref, losh_ref, Q)
-        mn = _mono_from_tables(cneg_ref[i], hi_ref, lo_ref, losh_ref, Q)
+        hp, hpsh, lp, lpsh = _mono_selects(
+            cpos_ref[i], hi_ref, lo_ref, losh_ref, hish_ref)
+        hn, hnsh, ln, lnsh = _mono_selects(
+            cneg_ref[i], hi_ref, lo_ref, losh_ref, hish_ref)
 
-        # INTT both RLWE components at once
+        # INTT both RLWE components at once (canonical [0, Q) — the digit
+        # extraction below needs exact values)
         coeff = _transform_s8(
             acc.reshape(BT * 2, N), winv_ref, Q, n_limbs_q
         ).reshape(BT, 2, N)
@@ -259,26 +280,40 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
             rows.append(digs1[d])
         dsh = jnp.concatenate(rows, axis=0)              # [dg2*BT, N]
 
+        # LAZY digit NTT: values < (2D+1)*Q, congruent mod Q — fine as
+        # the arbitrary-u32 x of the Shoup contraction below
         dct = _digits_transform_s8(
-            dsh, wfwd_ref, shift_ref[...].astype(U32), Q, base_g
-        ).reshape(dg2, BT, N)
+            dsh, wfwd_ref, shift_ref[...].astype(U32), Q, base_g,
+            lazy=True).reshape(dg2, BT, N)
 
-        # tmp[t, c] = sum_d2 dct[d2] * ek[t, d2, c]  (Shoup-lazy + one
-        # Barrett; 2*dg2*Q < 2^32 for dg2 <= 15)
+        # tmp[t, c] = sum_d2 dct[d2] * ek[t, d2, c], kept lazy < 2*dg2*Q;
+        # u_t = tmp * (X^c - 1) = shoup(shoup(tmp, hi), lo) - tmp, so the
+        # monomial multiply costs 2 lazy Shoups instead of a 29-op Barrett
+        # mulmod and tmp never pays its own reduction.
+        lazy_bound = 2 * dg2 * Q
+        full_lazy = (acc_bound := Q + 4 * Q + 2 * lazy_bound) < (1 << 32)
+
         def contract(t, c):
             s = None
             for d2 in range(dg2):
                 term = shoup_mul_lazy_u32(
                     dct[d2], ek[t, d2, c][None].astype(U32),
                     eksh[t, d2, c][None], Q)
-                s = term if s is None else s + term
-            return barrett_reduce_u32(s, Q)              # [BT, N]
+                s = term if s is None else s + term      # < 2*dg2*Q
+            return s if full_lazy else barrett_reduce_u32(s, Q)
 
+        sub = lazy_bound if full_lazy else Q             # -tmp offset
         new = []
         for c in range(2):
-            u0 = mulmod_u32(contract(0, c), mp, Q)
-            u1 = mulmod_u32(contract(1, c), mn, Q)
-            new.append(barrett_reduce_u32(acc[:, c, :] + u0 + u1, Q))
+            t0 = contract(0, c)
+            t1 = contract(1, c)
+            a0 = shoup_mul_lazy_u32(
+                shoup_mul_lazy_u32(t0, hp, hpsh, Q), lp, lpsh, Q)
+            a1 = shoup_mul_lazy_u32(
+                shoup_mul_lazy_u32(t1, hn, hnsh, Q), ln, lnsh, Q)
+            s = (acc[:, c, :] + a0 + a1
+                 + (U32(2 * sub) - t0 - t1))             # < acc_bound
+            new.append(barrett_reduce_u32(s, Q))
         return jnp.stack(new, axis=1)                    # [BT, 2, N]
 
     # i32 loop bounds: with x64 enabled a python-int fori_loop carries an
@@ -328,9 +363,9 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
 
     # hi/lo monomial tables (VMEM-resident in the kernel; (X^c - 1) rows
     # are computed in-kernel per step — no HBM monomial stream)
-    hi_l, lo_l, losh_l = nttm._get_pm_hilo_s8(tables)
-    hi_t, lo_t, losh_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
-                          jnp.asarray(losh_l))
+    hi_l, lo_l, losh_l, hish_l = nttm._get_pm_hilo_s8(tables)
+    hi_t, lo_t, losh_t, hish_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
+                                  jnp.asarray(losh_l), jnp.asarray(hish_l))
 
     grid = (Bp // BT,)
     kernel = partial(
@@ -344,12 +379,13 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
     with jax.enable_x64(False):
         out = _pallas_cggi(kernel, grid, Bp, BT, N, dg2, mxu, acc, key_arr,
                            eksh, c_pos.T, c_neg.T, winv, wfwd, shift,
-                           hi_t, lo_t, losh_t)
+                           hi_t, lo_t, losh_t, hish_t)
     return out[:B] if pad else out
 
 
 def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
-                 cpos, cneg, winv, wfwd, shift, hi_t, lo_t, losh_t):
+                 cpos, cneg, winv, wfwd, shift, hi_t, lo_t, losh_t,
+                 hish_t):
     n_steps = cpos.shape[0]
     return pl.pallas_call(
         kernel,
@@ -376,6 +412,8 @@ def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
                          memory_space=pltpu.VMEM),  # monomial lo planes
             pl.BlockSpec(losh_t.shape, lambda i: (0,) * 3,
                          memory_space=pltpu.VMEM),  # lo Shoup planes
+            pl.BlockSpec(hish_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),  # hi Shoup planes
         ],
         out_specs=pl.BlockSpec((BT, 2, N), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -387,14 +425,15 @@ def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(acc, key_arr, eksh, cpos, cneg, winv, wfwd, shift, hi_t, lo_t, losh_t)
+    )(acc, key_arr, eksh, cpos, cneg, winv, wfwd, shift, hi_t, lo_t,
+      losh_t, hish_t)
 
 
 # ------------------------------------------------- fused XZW / XZW_B (MK)
 
 def _xzw_kernel(acc_ref, ek_hbm, c_ref,
                 pkey_ref, pkeysh_ref, winv_ref, wfwd_ref, shift_ref,
-                hi_ref, lo_ref, losh_ref,
+                hi_ref, lo_ref, losh_ref, hish_ref,
                 out_ref, ek_buf, sems,
                 *, Q: int, base_g: int, dG: int, n_steps: int,
                 n_limbs_q: int, k: int, n_per_user: int, binary: bool):
@@ -435,7 +474,7 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
 
         ek = ek_buf[slot]                      # [nb, dG, 2, N] i32
         ci = c_ref[i]                          # [BT] in [0, 2N)
-        mp = _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, Q)
+        mp = _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, hish_ref, Q)
 
         # df rows (mk-acc-xzw.cpp:322-325): ternary
         # df = ev1 - ev2*(X^{-c}-1) - ev2; binary df = ev1.
@@ -443,7 +482,8 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
             df = None                          # use ek[0] directly
         else:
             ci_neg = jnp.where(ci == 0, I32(0), I32(2 * N) - ci)
-            mn = _mono_from_tables(ci_neg, hi_ref, lo_ref, losh_ref, Q)
+            mn = _mono_from_tables(ci_neg, hi_ref, lo_ref, losh_ref,
+                                   hish_ref, Q)
             t2 = mulmod_u32(
                 ek[1][None].astype(U32), mn[:, None, None, :], Q)
             df = barrett_reduce_u32(
@@ -535,7 +575,10 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
     shift = jnp.asarray(
         _shift_row(tables, params.base_g).astype(np.int32))
 
-    BT = min(B, _BT_MAX)
+    # tile scales down with party count: the step works on [k*BT, N] rows,
+    # so k*BT is what VMEM/compile time see (BT=256 at k=2/N=2048 blew
+    # Mosaic compile time)
+    BT = min(B, _BT_MAX, max(8, 256 // k))
     pad = (-B) % BT
     if pad:
         acc = jnp.concatenate(
@@ -545,9 +588,9 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
     Bp = B + pad
 
     pkeysh = _shoup_companions(pkey, Q)
-    hi_l, lo_l, losh_l = nttm._get_pm_hilo_s8(tables)
-    hi_t, lo_t, losh_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
-                          jnp.asarray(losh_l))
+    hi_l, lo_l, losh_l, hish_l = nttm._get_pm_hilo_s8(tables)
+    hi_t, lo_t, losh_t, hish_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
+                                  jnp.asarray(losh_l), jnp.asarray(hish_l))
 
     nb = 1 if binary else 2
 
@@ -562,13 +605,13 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
     with jax.enable_x64(False):   # 32-bit kernel tracing (see cggi note)
         out = _pallas_xzw(kernel, scratch, Bp, BT, k, dG, N, mxu, acc,
                           ek_steps, c_steps, pkey, pkeysh, winv, wfwd,
-                          shift, hi_t, lo_t, losh_t)
+                          shift, hi_t, lo_t, losh_t, hish_t)
     return out[:B] if pad else out
 
 
 def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
                 c_steps, pkey, pkeysh, winv, wfwd, shift, hi_t, lo_t,
-                losh_t):
+                losh_t, hish_t):
     n_steps = c_steps.shape[0]
     return pl.pallas_call(
         kernel,
@@ -596,6 +639,8 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(losh_t.shape, lambda i: (0,) * 3,
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(hish_t.shape, lambda i: (0,) * 3,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((BT, k, N), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -604,4 +649,4 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
     )(acc, ek_steps, c_steps, pkey, pkeysh, winv, wfwd, shift,
-      hi_t, lo_t, losh_t)
+      hi_t, lo_t, losh_t, hish_t)

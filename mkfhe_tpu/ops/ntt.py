@@ -542,6 +542,8 @@ def _get_pm_hilo_s8(tables: "NTTTables"):
     T_hi = pows[(slot_exp[None, :] * (L * m_hi)) % (2 * N)]    # [H, N]
     T_lo_sh = (T_lo.astype(object) << 32) // Q                 # Shoup comp.
     T_lo_sh = np.asarray(T_lo_sh.astype(np.int64))
+    T_hi_sh = (T_hi.astype(object) << 32) // Q
+    T_hi_sh = np.asarray(T_hi_sh.astype(np.int64))
     q_bits = (Q - 1).bit_length()
     nl = -(-q_bits // 7)
     lo = np.stack([((T_lo >> (l * 7)) & 127).astype(np.int8)
@@ -550,8 +552,10 @@ def _get_pm_hilo_s8(tables: "NTTTables"):
                    for l in range(nl)])
     losh = np.stack([((T_lo_sh >> (l * 7)) & 127).astype(np.int8)
                      for l in range(5)])                       # 32-bit comp.
-    _PM_HILO_CACHE[key] = (hi, lo, losh)
-    return hi, lo, losh
+    hish = np.stack([((T_hi_sh >> (l * 7)) & 127).astype(np.int8)
+                     for l in range(5)])
+    _PM_HILO_CACHE[key] = (hi, lo, losh, hish)
+    return hi, lo, losh, hish
 
 
 def _onehot_rows_s8(idx, limbs):
@@ -586,7 +590,7 @@ def monomial_minus_one_mxu(tables: "NTTTables", c):
     N, Q = tables.N, tables.Q
     lead = c.shape
     c2 = c.reshape(-1).astype(I32)                            # [M]
-    hi_l, lo_l, losh_l = _get_pm_hilo_s8(tables)
+    hi_l, lo_l, losh_l, _ = _get_pm_hilo_s8(tables)
     c_lo = c2 & (_MONO_LO - 1)
     hi = _onehot_rows_s8(c2 >> 6, hi_l)                       # [M, N] in [0,Q)
     lo = _onehot_rows_s8(c_lo, lo_l)

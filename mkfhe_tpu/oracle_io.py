@@ -317,3 +317,55 @@ def load_lmkcdey_vectors(path: str):
         cts["ctout_" + g] = load_ct("ctout_" + g)
     sk = _read(path, "sk", (n,))
     return params, tables, ek, cts, sk
+
+
+def load_xzddf_vectors(path: str):
+    """Load capture_xzddf dumps (P128T single-key vector-NTRU) ->
+    (params, tables, ek: VectorNTRUBTKey, cts dict, sk).
+
+    Reference: vntru-acc-xzddf.cpp:8-46 key layout — bskey [n+1][dG][N]
+    (KDM at 0, Enc(X^{sum s}) at n), autokey [q-1][dG][N] for
+    t = (2N/q)(j+1)+1 — and the EvalBinGate(VNTRU) tail
+    (binfhe-base-scheme.cpp:518-574)."""
+    from .acc.xzddf import XZDDFKey
+    from .constants import BINFHE_PARAMSET, SecretKeyDist
+    from .params import VNTRUParams
+    from .schemes.lwe import LWECiphertext, LWESwitchingKey
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+
+    n, N = meta["n"], meta["N"]
+    q, Q, qks = meta["q"], meta["Q"], meta["qks"]
+    dg = meta["digitsG"] - 1
+    dks, bks = meta["dks"], meta["bks"]
+
+    lwe_p = LWEParams(n=n, N=N, q=q, Q=Q, q_ks=qks, std=0.5, base_ks=bks,
+                      key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    vntru_p = VNTRUParams(N=N, Q=Q, q=q, base_g=meta["baseG"], std=0.5,
+                          key_dist=SecretKeyDist.UNIFORM_TERNARY)
+    params = BinFHEParams(
+        paramset=BINFHE_PARAMSET.P128T, method=BINFHE_METHOD.XZDDF,
+        lwe=lwe_p, vntru=vntru_p)
+    tables = get_tables(N, Q)
+
+    evk = host_ntt_fwd(tables, _read(path, "bskey", (n + 1, dg, N)))
+    auto = host_ntt_fwd(tables, _read(path, "autokey", (q - 1, dg, N)))
+    bs = XZDDFKey(evk=jnp.asarray(evk, I32), auto=jnp.asarray(auto, I32))
+    ksk = LWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I32),
+        B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I32))
+    ek = boot.VectorNTRUBTKey(bs=bs, ks=ksk)
+
+    def load_ct(name):
+        v = _read(path, name, (n + 1,))
+        return LWECiphertext(
+            jnp.asarray(v[:n], I32), jnp.asarray(v[n], I32))
+
+    cts = {"ct1": load_ct("ct1"), "ct2": load_ct("ct2"),
+           "ctout_nand": load_ct("ctout_nand")}
+    sk = _read(path, "sk", (n,))
+    return params, tables, ek, cts, sk

@@ -164,3 +164,81 @@ def test_lmkcdey_gates_bit_exact(gate):
     mism = int((np.asarray(out.a) != np.asarray(want.a)).sum())
     mism += int(np.asarray(out.b) != np.asarray(want.b))
     assert mism == 0, f"{gate}: {mism} components differ"
+
+
+STD128_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std128_mkntru")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(STD128_VEC, "ctout.bin")),
+    reason="STD128_MKNTRU oracle vectors not generated")
+def test_mkntru_std128_dg3_gate_bit_exact():
+    """The paper's headline 128-bit set (binfhecontext.cpp:129): k=2,
+    n=765, baseG=2^7 -> digitsG=4 (dG=3 digits) — the first bit-exact
+    coverage beyond digitsG=3 shapes."""
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_mkntru_vectors
+    from mkfhe_tpu.schemes import mntru
+
+    params, tables, ek, cts, (sk_F, sk_Finv) = load_mkntru_vectors(
+        STD128_VEC)
+    assert params.unienc.digits_g == 4
+    out = boot.eval_bin_gate_mntru(
+        tables, params, BINGATE.NAND, ek,
+        cts["ct1"], cts["ct2"], cts["ctnand"])
+    got = np.asarray(out.c, np.int64)
+    want = np.asarray(cts["ctout"].c, np.int64)
+    mism = int((got != want).sum())
+    assert mism == 0, f"{mism}/{want.size} coefficients differ"
+    sk = mntru.MNTRUPrivateKey(F=sk_F, F_inv=sk_Finv)
+    assert int(mntru.decrypt(params.mntru, sk, out)) == 1
+
+
+K8_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "std100_mkntru_k8")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(K8_VEC, "ctout.bin")),
+    reason="8-party oracle vectors not generated")
+def test_mkntru_8party_gate_bit_exact():
+    """STD100_MKNTRU_3 = k=8 parties (binfhecontext.cpp:139)."""
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_mkntru_vectors
+
+    params, tables, ek, cts, _sk = load_mkntru_vectors(K8_VEC)
+    assert params.mntru.k == 8
+    out = boot.eval_bin_gate_mntru(
+        tables, params, BINGATE.NAND, ek,
+        cts["ct1"], cts["ct2"], cts["ctnand"])
+    got = np.asarray(out.c, np.int64)
+    want = np.asarray(cts["ctout"].c, np.int64)
+    mism = int((got != want).sum())
+    assert mism == 0, f"{mism}/{want.size} coefficients differ"
+
+
+XZDDF_VEC = os.path.join(
+    os.path.dirname(__file__), "..", "oracle", "vectors", "p128t_xzddf")
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(XZDDF_VEC, "ctout_nand.bin")),
+    reason="XZDDF oracle vectors not generated")
+def test_xzddf_gate_bit_exact():
+    """vntru-acc-xzddf.cpp verified coefficient-exact (closes the r2
+    'decrypt-verified only' gap): reference keys injected, NAND output
+    compared component-for-component."""
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_xzddf_vectors
+
+    params, tables, ek, cts, sk = load_xzddf_vectors(XZDDF_VEC)
+    out = boot.eval_bin_gate_ntru(
+        tables, params, BINGATE.NAND, ek, cts["ct1"], cts["ct2"])
+    want = cts["ctout_nand"]
+    mism = int((np.asarray(out.a) != np.asarray(want.a)).sum())
+    mism += int(np.asarray(out.b) != np.asarray(want.b))
+    assert mism == 0, f"{mism} components differ"

@@ -129,3 +129,49 @@ def test_xzw_fused_batch_padding():
         fused.set_batch_tile(128)
 
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cggi_fused_bit_exact_dg3():
+    """digitsG=4 (baseG=2^7 -> dG=3 digits) — the STD128_MKNTRU-class
+    shape the fused kernels had never seen before round 3. Exercises the
+    dg2=6 lazy contraction bound (29Q < 2^32)."""
+    from mkfhe_tpu.acc import cggi
+
+    tables, params, key_arr, acc, a = _mk_cggi_case(B=4, seed=7)
+    import dataclasses
+    params = dataclasses.replace(params, base_g=1 << 7)
+    assert params.digits_g == 4
+    rng = np.random.default_rng(7)
+    Q, N, n = params.Q, params.N, 6
+    key_arr = jnp.asarray(
+        rng.integers(0, Q, (n, 2, 2 * (params.digits_g - 1), 2, N)), I32)
+    key = cggi.CGGIKey(key_arr)
+
+    fused.set_mode("off")
+    ref = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+    fused.set_mode("on")
+    got = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_xzw_fused_bit_exact_dg3():
+    from mkfhe_tpu.acc import xzw
+    import dataclasses
+
+    tables, params, key, acc, c_all = _mk_xzw_case(seed=9)
+    params = dataclasses.replace(params, base_g=1 << 7)
+    dG = params.digits_g - 1
+    assert dG == 3
+    rng = np.random.default_rng(9)
+    k, n, N, Q = 2, 3, params.N, params.Q
+    from mkfhe_tpu.acc.xzw import UniEncKey
+    key = UniEncKey(
+        ek=jnp.asarray(rng.integers(0, Q, (k, 2, n, dG, 2, N)), I32),
+        ekstar=jnp.asarray(rng.integers(0, Q, (dG, 2, N)), I32),
+        pkey=jnp.asarray(rng.integers(0, Q, (k, dG, N)), I32))
+
+    fused.set_mode("off")
+    ref = np.asarray(xzw.eval_acc(tables, params, key, acc, c_all, False))
+    fused.set_mode("on")
+    got = np.asarray(xzw.eval_acc(tables, params, key, acc, c_all, False))
+    np.testing.assert_array_equal(got, ref)
