@@ -96,24 +96,45 @@ def test_eval_decomp(ctx):
     np.testing.assert_array_equal(got0, m % p)
 
 
-def test_eval_decomp_all_digits(ctx):
-    """Mid-chain digit values accumulate beta-offsets whose exact decode
-    rule needs the reference's per-level modulus bookkeeping
-    (UnitTestFunc.cpp:175 comment); until that is transcribed, check the
-    strict property only for the first digit (see test_eval_decomp) and
-    that every later digit still DECODES (values in range)."""
+def test_eval_decomp_all_digits_exact(ctx):
+    """EXACT per-digit parity against the base-p decomposition of m, the
+    reference's own verification model (UnitTestFunc.cpp:150-240): digit j
+    decoded at plaintext space p equals (m >> j*log2(p)) mod p, and the
+    final level decodes at p_last = 2^(MSB(P-1) mod MSB(p-1)) at its own
+    (possibly < q) chain modulus.
+
+    Precision note: the reference exercises this at its large-precision
+    profile (logQprime=54, qKS=2^35 — binfhecontext.cpp:38-67), which no
+    32-bit build can represent (MAX_MODULUS_SIZE=28). Within 32-bit
+    lanes the exactness condition is beta*q/mod > bootstrap noise
+    (measured ~10 q-units p99 at MEDIUM — the same class as the
+    reference's own 32-bit configs), i.e. mod <= 2^12 here; larger mod
+    decomposes correctly only in the EvalSign sense (top digits), which
+    test_eval_sign covers."""
     cc, sk = ctx
     q = cc.params.lwe.q
-    p = cc.GetMaxPlaintextSpace()
+    p = cc.GetMaxPlaintextSpace()            # 4
     beta = cc.GetBeta()
-    mod = 1 << 17
-    P = mod // (2 * beta)
-    m = np.array([150, 37, 166])
-    ct = cc.Encrypt(sk, m, p=P, mod=mod)
-    digits = cc.EvalDecomp(ct, mod)
-    assert len(digits) == 5
-    got0 = decrypt_at(cc, sk, digits[0], q, p)
-    np.testing.assert_array_equal(got0, m % p)
-    for d in digits[1:-1]:
-        got = np.asarray(decrypt_at(cc, sk, d, q, p))
-        assert ((got >= 0) & (got < p)).all()
+    lg = p.bit_length() - 1
+    for mod in (4096, 2048):
+        P = mod // (2 * beta)
+        m = np.arange(P)
+        ct = cc.Encrypt(sk, m, p=P, mod=mod)
+        digits = cc.EvalDecomp(ct, mod)
+        # per-level modulus bookkeeping (binfhe-base-scheme.cpp:965-976):
+        # every level is mod q except the last, whose chain modulus is the
+        # final (mod/q)*2*beta
+        mods = [q] * (len(digits) - 1)
+        mm, last_mod = mod, q
+        while mm > q:
+            last_mod = (mm // q) * 2 * beta
+            mm = last_mod
+        mods.append(min(last_mod, q) if last_mod != q else q)
+        plast_log = (P - 1).bit_length() % lg
+        p_last = 1 << plast_log if plast_log else p
+        for j, (d, mj) in enumerate(zip(digits, mods)):
+            pj = p if j < len(digits) - 1 else p_last
+            got = np.asarray(decrypt_at(cc, sk, d, mj, pj))
+            want = (m >> (lg * j)) % pj
+            np.testing.assert_array_equal(
+                got, want, err_msg=f"mod={mod} digit {j}")
