@@ -63,3 +63,34 @@ def test_mk_gate_dp_party_sharded(mesh8):
         out = np.asarray(fn(cc.ct_nand.c, ct1.c, ct2.c))
     res = mntru.decrypt(cc.params.mntru, sk, mntru.MNTRUCiphertext(out))
     np.testing.assert_array_equal(res, 1 - (m1 & m2))
+
+
+def test_mk_gate_sharded_production_shape(mesh8):
+    """STD100_MKNTRU (N=2048, n=560 — NOT toy) over the (dp=4, party=2)
+    virtual mesh: the r2 VERDICT's 'production-shape multi-device run'.
+    Decrypt-verified; exercises the party psum + dp batch split at the
+    shapes the TPU bench uses."""
+    from mkfhe_tpu import BinFHEContext
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+    from mkfhe_tpu.parallel import make_mesh, shard_mk_gate
+    from mkfhe_tpu.schemes import mntru as mntru_mod
+
+    cc = BinFHEContext(seed=19)
+    cc.GenerateBinFHEContext(
+        BINFHE_PARAMSET.STD100_MKNTRU, BINFHE_METHOD.MKNTRU)
+    sk = cc.MNTRU_KeyGen()
+    cc.MKBTKeyGen(sk)
+    cc.ctGateGen(sk, BINGATE.NAND)
+
+    mesh = make_mesh(8, party=2)
+    m1 = np.resize(np.array([0, 0, 1, 1]), 8)
+    m2 = np.resize(np.array([0, 1, 0, 1]), 8)
+    ct1, ct2 = cc.Encrypt(sk, m1), cc.Encrypt(sk, m2)
+
+    with mesh:
+        fn, _ = shard_mk_gate(mesh, cc.tables, cc.params, cc.mk_bt_key)
+        out = np.asarray(fn(cc.ct_nand.c, ct1.c, ct2.c))
+
+    res = mntru_mod.decrypt(
+        cc.params.mntru, sk, mntru_mod.MNTRUCiphertext(out))
+    np.testing.assert_array_equal(res, 1 - (m1 & m2))

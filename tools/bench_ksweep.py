@@ -1,0 +1,97 @@
+"""k-scaling sweep: MKNTRU NAND gates/sec at k = 2/4/8/16 parties
+(STD100_MKNTRU .. STD100_MKNTRU_4, binfhecontext.cpp:137-140) on the
+real TPU. Writes tools/ksweep_results.json and prints a markdown table.
+
+Usage: python tools/bench_ksweep.py [--batch 128] [--reps 2]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def bench_one(paramset: str, batch: int, reps: int) -> dict:
+    import jax
+    from mkfhe_tpu import BinFHEContext, boot
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+
+    t0 = time.perf_counter()
+    cc = BinFHEContext(seed=11)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET[paramset], BINFHE_METHOD.MKNTRU)
+    sk = cc.MNTRU_KeyGen()
+    cc.MKBTKeyGen(sk)
+    cc.ctGateGen(sk, BINGATE.NAND)
+    t_keygen = time.perf_counter() - t0
+
+    k = cc.params.mntru.k
+    m1 = np.resize(np.array([0, 0, 1, 1]), batch)
+    m2 = np.resize(np.array([0, 1, 0, 1]), batch)
+    ct1 = cc.Encrypt(sk, m1)
+    ct2 = cc.Encrypt(sk, m2)
+
+    fn = lambda c1, c2: boot._mk_gate_mntru_jit(
+        cc.tables, cc.params, cc.mk_bt_key, cc.ct_nand.c, c1, c2).c
+    out = fn(ct1.c, ct2.c)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(reps):                   # chained: cache-proof
+        out = fn(out, ct2.c)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+
+    want = 1 - (m1 & m2)
+    for _ in range(reps):
+        want = 1 - (want & m2)
+    res = np.asarray(cc.Decrypt(sk, type(cc.ct_nand)(np.asarray(out))))
+    return {
+        "paramset": paramset, "k": k, "batch": batch,
+        "gates_per_sec": round(batch / dt, 2),
+        "sec_per_batch": round(dt, 3),
+        "steps_per_gate": k * cc.params.mntru.n,
+        "keygen_sec": round(t_keygen, 1),
+        "correct": bool(np.array_equal(res, want)),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--sets", nargs="*", default=[
+        "STD100_MKNTRU", "STD100_MKNTRU_2", "STD100_MKNTRU_3",
+        "STD100_MKNTRU_4"])
+    args = ap.parse_args()
+
+    from mkfhe_tpu.ops import ntt as _ntt
+    import jax
+    _ntt.set_default_impl(
+        "butterfly" if jax.default_backend() == "cpu" else "mxu_s8")
+
+    rows = []
+    for s in args.sets:
+        r = bench_one(s, args.batch, args.reps)
+        rows.append(r)
+        print(json.dumps(r), flush=True)
+        jax.clear_caches()     # free HBM between k configs
+
+    out_path = os.path.join(os.path.dirname(__file__),
+                            "ksweep_results.json")
+    with open(out_path, "w") as fh:
+        json.dump(rows, fh, indent=1)
+
+    print("\n| set | k | gates/s | ms/gate-batch | steps/gate | correct |")
+    print("|---|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['paramset']} | {r['k']} | {r['gates_per_sec']} | "
+              f"{1000*r['sec_per_batch']:.0f} | {r['steps_per_gate']} | "
+              f"{r['correct']} |")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Sharded scaling sweep at STD100_MKNTRU on an n-virtual-CPU mesh:
+gates/s and parallel efficiency at 1/2/4/8 devices (dp x party).
+
+Virtual-mesh numbers validate the GSPMD partitioning end-to-end (the
+collectives really run); absolute throughput is CPU-bound and NOT a TPU
+perf claim — see BASELINE.md. Writes tools/sharded_scaling.json.
+
+Usage: XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+       JAX_PLATFORMS=cpu python tools/bench_sharded_scaling.py
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+from mkfhe_tpu import BinFHEContext
+from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET, BINGATE
+from mkfhe_tpu.parallel import make_mesh, shard_mk_gate
+from mkfhe_tpu.schemes import mntru as mntru_mod
+
+
+def main():
+    batch, reps = 16, 2
+    cc = BinFHEContext(seed=11)
+    cc.GenerateBinFHEContext(
+        BINFHE_PARAMSET.STD100_MKNTRU, BINFHE_METHOD.MKNTRU)
+    sk = cc.MNTRU_KeyGen()
+    cc.MKBTKeyGen(sk)
+    cc.ctGateGen(sk, BINGATE.NAND)
+    m1 = np.resize(np.array([0, 0, 1, 1]), batch)
+    m2 = np.resize(np.array([0, 1, 0, 1]), batch)
+    ct1, ct2 = cc.Encrypt(sk, m1), cc.Encrypt(sk, m2)
+
+    rows = []
+    for n_dev, party in ((1, 1), (2, 2), (4, 2), (8, 2)):
+        mesh = make_mesh(n_dev, party=party)
+        with mesh:
+            fn, _ = shard_mk_gate(mesh, cc.tables, cc.params, cc.mk_bt_key)
+            out = fn(cc.ct_nand.c, ct1.c, ct2.c)
+            out.block_until_ready()
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn(cc.ct_nand.c, ct1.c, ct2.c)
+            out.block_until_ready()
+            dt = (time.perf_counter() - t0) / reps
+            out_np = np.asarray(out)
+        res = mntru_mod.decrypt(
+            cc.params.mntru, sk, mntru_mod.MNTRUCiphertext(out_np))
+        ok = bool(np.array_equal(res, 1 - (m1 & m2)))
+        rows.append({"devices": n_dev, "party": party,
+                     "gates_per_sec": round(batch / dt, 3),
+                     "sec_per_batch": round(dt, 2), "correct": ok})
+        print(json.dumps(rows[-1]), flush=True)
+        jax.clear_caches()
+
+    # Virtual devices SHARE one CPU's cores: total work per batch is
+    # constant, so the meaningful number is the partitioning overhead
+    # t(n)/t(1) (1.0 = GSPMD split + collectives cost nothing), NOT
+    # linear-scaling efficiency (which is 1/n by construction here).
+    base_t = rows[0]["sec_per_batch"]
+    for r in rows:
+        r["partition_overhead"] = round(r["sec_per_batch"] / base_t, 3)
+    with open(os.path.join(os.path.dirname(__file__),
+                           "sharded_scaling.json"), "w") as fh:
+        json.dump({"note": "8-virtual-CPU mesh; devices share one CPU - "
+                           "see header docstring", "rows": rows}, fh,
+                  indent=1)
+    print("\n| devices | dp x party | gates/s | t(n)/t(1) overhead |")
+    print("|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['devices']} | {r['devices']//r['party']} x "
+              f"{r['party']} | {r['gates_per_sec']} | "
+              f"{r['partition_overhead']} |")
+
+
+if __name__ == "__main__":
+    main()
