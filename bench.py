@@ -46,19 +46,25 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
     fn = lambda c1, c2: boot._mk_gate_mntru_jit(
         cc.tables, cc.params, cc.mk_bt_key, cc.ct_nand.c, c1, c2).c
 
+    # distinct input per rep (fresh Enc(0) randomizer added to ct1) so no
+    # layer (XLA or the device tunnel) can serve a cached result. MK NAND
+    # outputs are NAND-shifted (DecryptNAND decode) and thus NOT directly
+    # composable, so rep-chaining is not an option here.
+    from mkfhe_tpu.schemes import mntru as _mntru
+    zero = np.zeros(batch, np.int64)
+    c1s = [_mntru.eval_add(
+               ct1, cc.Encrypt(sk, zero), cc.params.mntru.q).c
+           for _ in range(reps)]
+
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()                      # compile + warmup
-    # chain reps (rep i feeds rep i+1): distinct inputs per dispatch so
-    # no layer (XLA or the device tunnel) can serve a cached result
     t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(out, ct2.c)
+    for r in range(reps):
+        out = fn(c1s[r], ct2.c)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
     want = 1 - (m1 & m2)
-    for _ in range(reps):
-        want = 1 - (want & m2)
     ct_out = type(cc.ct_nand)(np.asarray(out))
     res = np.asarray(cc.Decrypt(sk, ct_out))
     correct = bool(np.array_equal(res, want))

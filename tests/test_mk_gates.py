@@ -8,6 +8,7 @@ tests cover the same flow, batched over all four input combinations, at
 """
 
 import pytest as _pytest
+import pytest
 
 pytestmark = _pytest.mark.smoke
 
@@ -97,3 +98,59 @@ def test_mkntru_4party_nand():
     ct2 = cc.Encrypt(sk, M2)
     out = cc.EvalBinGate(BINGATE.NAND, ct1, ct2)
     np.testing.assert_array_equal(cc.Decrypt(sk, out), NAND_TRUTH)
+
+
+def test_mntru_keyswitch_noise_behavior_vs_reference_ksk():
+    """r2 VERDICT weak #5, resolved with a measurement. The reference's
+    KeySwitchGen2 vector-fill constructor reuses ONE Gaussian row for all
+    N*d KSK rows (mntru-pke.cpp:655), so its switch noise degenerates to
+    (sum_i digit_i) * e[0] with e[0] in {0,+-1,+-2}: ~0 when e[0]=0 (the
+    captured key: measured 29), ~4.6k when |e[0]|=1 (still inside the
+    q/8=5647 margin by accident), and gate-breaking at |e[0]|=2. Our
+    fresh-rows keygen replaces that lottery with a proper Gaussian:
+    noise ~ sqrt(sum digit_i^2)*sigma (~1.0-1.3k at STD100) — higher
+    typical value, bounded tails, same bit-exact eval semantics (the
+    oracle tests inject the reference KSK unchanged).
+
+    Asserts: the gate with OUR KSK (same captured secrets) decrypts, and
+    its noise matches the fresh-row analytic prediction within 2.5x."""
+    import os
+
+    vec = os.path.join(os.path.dirname(__file__), "..", "oracle",
+                       "vectors", "std100_mkntru")
+    if not os.path.exists(os.path.join(vec, "kskey.bin")):
+        pytest.skip("oracle vectors not generated")
+
+    import numpy as np
+
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.constants import BINGATE
+    from mkfhe_tpu.oracle_io import load_mkntru_vectors
+    from mkfhe_tpu.rng import Sampler
+    from mkfhe_tpu.schemes import mntru
+    from mkfhe_tpu.utils import metrics
+
+    params, tables, ek_ref, cts, (sk_F, sk_Finv) = load_mkntru_vectors(vec)
+    mp = params.mntru
+    sk = mntru.MNTRUPrivateKey(F=sk_F, F_inv=sk_Finv)
+    fvec = np.asarray(ek_ref.f_coeff, np.int64)
+    ksk_ours = mntru.key_switch_gen2(Sampler(101), mp, sk, fvec)
+    ek_ours = ek_ref._replace(ks=ksk_ours)
+
+    def gate_noise(ek):
+        out = boot.eval_bin_gate_mntru(
+            tables, params, BINGATE.NAND, ek,
+            cts["ct1"], cts["ct2"], cts["ctnand"])
+        res = mntru.decrypt(mp, sk, out)
+        assert int(res) == 1            # 1 NAND 0 still decrypts
+        e = metrics.noise_mntru(mp, sk, out, np.asarray([1]))
+        return float(np.abs(e).max())
+
+    n_ref = gate_noise(ek_ref)
+    n_ours = gate_noise(ek_ours)
+    # fresh-row prediction: sqrt(k * N * d * E[digit^2]) * sigma with
+    # digits ~ U[0, Bks): E[d^2] = (Bks-1)(2Bks-1)/6
+    ed2 = (mp.base_ks - 1) * (2 * mp.base_ks - 1) / 6
+    pred = (mp.k * mp.N * mp.digits_ks * ed2) ** 0.5 * mp.std
+    assert n_ours < 2.5 * (pred + n_ref), (n_ours, pred, n_ref)
+    assert n_ours < mp.q / 8, "outside decryption margin"

@@ -37,17 +37,21 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
 
     fn = lambda c1, c2: boot._mk_gate_mntru_jit(
         cc.tables, cc.params, cc.mk_bt_key, cc.ct_nand.c, c1, c2).c
+    # distinct input per rep (fresh Enc(0) randomizer; MK NAND outputs
+    # are NAND-shifted, not composable — see bench.py)
+    from mkfhe_tpu.schemes import mntru as _mntru
+    zero = np.zeros(batch, np.int64)
+    c1s = [_mntru.eval_add(ct1, cc.Encrypt(sk, zero),
+                           cc.params.mntru.q).c for _ in range(reps)]
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()
     t0 = time.perf_counter()
-    for _ in range(reps):                   # chained: cache-proof
-        out = fn(out, ct2.c)
+    for r in range(reps):
+        out = fn(c1s[r], ct2.c)
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
 
     want = 1 - (m1 & m2)
-    for _ in range(reps):
-        want = 1 - (want & m2)
     res = np.asarray(cc.Decrypt(sk, type(cc.ct_nand)(np.asarray(out))))
     return {
         "paramset": paramset, "k": k, "batch": batch,
