@@ -40,6 +40,10 @@ class UniEncKey(NamedTuple):
     ek: jnp.ndarray      # [k, nb, n, dG, 2, N] int32 EVAL
     ekstar: jnp.ndarray  # [dG, 2, N] int32 EVAL
     pkey: jnp.ndarray    # [k, dG, N] int32 EVAL (Pkey[u][i] = e - CRS_i*f_u)
+    ek_sh: jnp.ndarray | None = None
+    # ^ floor(ek * 2^32 / Q) u32 — fused-kernel Shoup companions,
+    #   precomputed at keygen (the in-graph u64 divide fallback is for
+    #   raw test keys only)
 
 
 # ------------------------------------------------------------------- keygen
@@ -146,10 +150,12 @@ def key_gen_acc(
         np.ones(1, dtype=np.int64), np.ones(1, dtype=bool))
     ekstar = np.stack([ds[0], fs[0]], axis=1)     # [dG, 2, N]
 
+    ek_sh = (ek.astype(np.uint64) << np.uint64(32)) // np.uint64(params.Q)
     return UniEncKey(
         ek=jnp.asarray(ek, I32),
         ekstar=jnp.asarray(ekstar, I32),
         pkey=jnp.asarray(pkey, I32),
+        ek_sh=jnp.asarray(ek_sh.astype(np.uint32)),
     )
 
 
@@ -253,9 +259,13 @@ def eval_acc(
 
     from ..ops import fused
     if fused.enabled():
+        eksh_flat = None
+        if key.ek_sh is not None:
+            eksh_flat = key.ek_sh.transpose(0, 2, 1, 3, 4, 5).reshape(
+                k * n, (1 if binary else 2), dg, 2, N)[1:]
         out = fused.xzw_scan_fused(
             tables, params, ek_flat[1:], key.pkey, acc,
-            c_steps[1:].astype(I32), binary)
+            c_steps[1:].astype(I32), binary, ek_sh=eksh_flat)
         return out.reshape(*lead, k, N)
 
     def _contract(dctn, keys):

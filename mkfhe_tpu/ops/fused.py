@@ -431,16 +431,23 @@ def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
 
 # ------------------------------------------------- fused XZW / XZW_B (MK)
 
-def _xzw_kernel(acc_ref, ek_hbm, c_ref,
+def _xzw_kernel(acc_ref, ek_hbm, eksh_hbm, c_ref,
                 pkey_ref, pkeysh_ref, winv_ref, wfwd_ref, shift_ref,
                 hi_ref, lo_ref, losh_ref, hish_ref,
-                out_ref, ek_buf, sems,
+                out_ref, ek_buf, eksh_buf, sems,
                 *, Q: int, base_g: int, dG: int, n_steps: int,
                 n_limbs_q: int, k: int, n_per_user: int, binary: bool):
     """Steps 1..k*n-1 of UniEnc EvalAcc (mk-acc-xzw.cpp:89-130; HbProd
-    :231-290). Mirrors acc/xzw.py `step` operation-for-operation in u32
-    so outputs are bit-equal to the s64 scan. Monomial (X^c - 1) rows are
-    computed in-kernel from the VMEM hi/lo tables (see _mono_from_tables)."""
+    :231-290), congruence-exact to the scan path in acc/xzw.py (same
+    canonical [0, Q) outputs).
+
+    V2 arithmetic: df = ev1 - ev2*(X^{-c}-1) - ev2 == ev1 - ev2*X^{-c}
+    exactly, and the EVAL-domain monomial is diagonal, so
+      <g^-1(acc), df_j> = A_j - X^{-c} * B_j,
+      A_j = sum_d shoup(dct_d, ev1[d,j]),  B_j likewise with ev2,
+    with X^{-c} applied as two table Shoups to the LAZY sum. The
+    [BT, dG, 2, N] df materialization and every Barrett mulmod of the
+    old step disappear; key Shoup companions stream with the key DMA."""
     BT = acc_ref.shape[0]
     N = acc_ref.shape[2]
     nb = 1 if binary else 2
@@ -451,6 +458,8 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
         return [
             pltpu.make_async_copy(ek_hbm.at[i], ek_buf.at[slot],
                                   sems.at[np.int32(0), slot]),
+            pltpu.make_async_copy(eksh_hbm.at[i], eksh_buf.at[slot],
+                                  sems.at[np.int32(1), slot]),
         ]
 
     for d in dmas(0, 0):
@@ -460,6 +469,9 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
     pkey = pkey_ref[...].astype(U32)           # [k, dG, N]
     pkeysh = pkeysh_ref[...]                   # [k, dG, N] u32
     shift_row = shift_ref[...].astype(U32)     # [1, N]
+
+    lazy_term = 2 * dG * Q + 2 * Q             # uj/w lazy bound
+    full_lazy = Q + 2 * lazy_term < (1 << 32)
 
     def step(i, acc):
         slot = i % 2
@@ -473,52 +485,69 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
             d.wait()
 
         ek = ek_buf[slot]                      # [nb, dG, 2, N] i32
-        ci = c_ref[i]                          # [BT] in [0, 2N)
-        mp = _mono_from_tables(ci, hi_ref, lo_ref, losh_ref, hish_ref, Q)
-
-        # df rows (mk-acc-xzw.cpp:322-325): ternary
-        # df = ev1 - ev2*(X^{-c}-1) - ev2; binary df = ev1.
-        if binary:
-            df = None                          # use ek[0] directly
-        else:
+        eksh = eksh_buf[slot]                  # [nb, dG, 2, N] u32
+        # per-tile c block is lane-padded to 128 (the VMEM lane rule);
+        # compute the mono selects at width 128, slice to BT
+        ci = c_ref[0, i]                       # [128] in [0, 2N)
+        hp, hpsh, lp, lpsh = (a[:BT] for a in _mono_selects(
+            ci, hi_ref, lo_ref, losh_ref, hish_ref))
+        if not binary:
             ci_neg = jnp.where(ci == 0, I32(0), I32(2 * N) - ci)
-            mn = _mono_from_tables(ci_neg, hi_ref, lo_ref, losh_ref,
-                                   hish_ref, Q)
-            t2 = mulmod_u32(
-                ek[1][None].astype(U32), mn[:, None, None, :], Q)
-            df = barrett_reduce_u32(
-                ek[0][None].astype(U32)
-                + (U32(Q) - t2)
-                + (U32(Q) - ek[1][None].astype(U32)), Q)
-            # df: [BT, dG, 2, N] in [0, Q)
+            hn, hnsh, ln, lnsh = (a[:BT] for a in _mono_selects(
+                ci_neg, hi_ref, lo_ref, losh_ref, hish_ref))
 
-        # acctemp = acc * (X^c - 1)
-        acctemp = mulmod_u32(acc, mp[:, None, :], Q)        # [BT, k, N]
+        def apply_xc_neg(x_lazy, lead1):
+            """X^{-c} * x for lazy u32 x; lead1: x is [BT, 1?, N] vs
+            [BT, k, N] — broadcast the [BT, N] mono rows accordingly."""
+            h, hs = (hn[:, None, :], hnsh[:, None, :]) if lead1 else (hn, hnsh)
+            l, ls = (ln[:, None, :], lnsh[:, None, :]) if lead1 else (ln, lnsh)
+            t = shoup_mul_lazy_u32(x_lazy, h, hs, Q)
+            return shoup_mul_lazy_u32(t, l, ls, Q)          # [0, 2Q)
 
-        # HbProd: INTT -> digits -> fwd NTT
+        # acctemp = acc*(X^c - 1) = (acc*hi_p)*lo_p - acc, canonical for
+        # the digit extraction
+        t = shoup_mul_lazy_u32(acc, hp[:, None, :], hpsh[:, None, :], Q)
+        t = shoup_mul_lazy_u32(t, lp[:, None, :], lpsh[:, None, :], Q)
+        acctemp = barrett_reduce_u32(t + (U32(2 * Q) - acc), Q)
+
+        # HbProd: INTT (canonical) -> digits -> fwd NTT (lazy)
         coeff = _transform_s8(
             acctemp.reshape(BT * k, N), winv_ref, Q, n_limbs_q)
         digs = _signed_digits(coeff, Q, base_g, dG)
         dsh = jnp.concatenate(digs, axis=0)                 # [dG*BT*k, N]
         dct = _digits_transform_s8(
-            dsh, wfwd_ref, shift_row, Q, base_g
+            dsh, wfwd_ref, shift_row, Q, base_g, lazy=True
         ).reshape(dG, BT, k, N)
 
-        # uj[u'] = <g^-1(acc_u'), d>; v[u'] = <g^-1(acc_u'), Pkey_u'>
-        uj = None
+        # A/B contractions over the streamed key (+ pkey for v)
+        def contract(rows, comp, branch):
+            s = None
+            for d in range(dG):
+                term = shoup_mul_lazy_u32(
+                    rows[d], ek[branch, d, comp][None].astype(U32)
+                    if rows[d].ndim == 2 else
+                    ek[branch, d, comp][None, None].astype(U32),
+                    eksh[branch, d, comp][None]
+                    if rows[d].ndim == 2 else
+                    eksh[branch, d, comp][None, None], Q)
+                s = term if s is None else s + term
+            return s                                        # < 2*dG*Q
+
+        A0 = contract(dct, 0, 0)                            # [BT, k, N]
         v = None
         for d in range(dG):
-            if binary:
-                td = mulmod_u32(dct[d], ek[0, d, 0][None, None].astype(U32),
-                                Q)
-            else:
-                td = mulmod_u32(dct[d], df[:, d, 0][:, None, :], Q)
-            uj = td if uj is None else uj + td              # < dG*Q
             tv = shoup_mul_lazy_u32(
                 dct[d], pkey[:, d][None], pkeysh[:, d][None], Q)
             v = tv if v is None else v + tv                 # < 2*dG*Q
-        uj = barrett_reduce_u32(uj, Q)                      # [BT, k, N]
         v = barrett_reduce_u32(v, Q)
+
+        if binary:
+            uj = A0 if full_lazy else barrett_reduce_u32(A0, Q)
+        else:
+            XB0 = apply_xc_neg(contract(dct, 0, 1), True)   # [0, 2Q)
+            uj = A0 + (U32(2 * Q) - XB0)                    # < 2dGQ + 2Q
+            if not full_lazy:
+                uj = barrett_reduce_u32(uj, Q)
 
         sum_v = v[:, 0]
         for u in range(1, k):
@@ -529,23 +558,23 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
         digs2 = _signed_digits(coeff2, Q, base_g, dG)
         dsh2 = jnp.concatenate(digs2, axis=0)               # [dG*BT, N]
         dct2 = _digits_transform_s8(
-            dsh2, wfwd_ref, shift_row, Q, base_g
+            dsh2, wfwd_ref, shift_row, Q, base_g, lazy=True
         ).reshape(dG, BT, N)
 
-        w = None
-        for d in range(dG):
-            if binary:
-                td = mulmod_u32(dct2[d], ek[0, d, 1][None].astype(U32), Q)
-            else:
-                td = mulmod_u32(dct2[d], df[:, d, 1], Q)
-            w = td if w is None else w + td
-        w = barrett_reduce_u32(w, Q)                        # [BT, N]
+        A1 = contract(dct2, 1, 0)                           # [BT, N]
+        if binary:
+            w = A1 if full_lazy else barrett_reduce_u32(A1, Q)
+        else:
+            XB1 = apply_xc_neg(contract(dct2, 1, 1), False)
+            w = A1 + (U32(2 * Q) - XB1)
+            if not full_lazy:
+                w = barrett_reduce_u32(w, Q)
 
         # acc += uj (+ w on this step's user row); user = (i+1)//n
         u_idx = jnp.asarray((i + 1) // n_per_user, I32)
         kiota = jax.lax.broadcasted_iota(I32, (1, k, 1), 1)
         add_w = jnp.where(kiota == u_idx, w[:, None, :], U32(0))
-        return barrett_reduce_u32(acc + uj + add_w, Q)      # < 3Q
+        return barrett_reduce_u32(acc + uj + add_w, Q)
 
     acc = jax.lax.fori_loop(
         jnp.asarray(0, I32), jnp.asarray(n_steps, I32), step, acc0)
@@ -553,12 +582,15 @@ def _xzw_kernel(acc_ref, ek_hbm, c_ref,
 
 
 @partial(jax.jit, static_argnames=("params", "binary"))
-def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
+def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary,
+                   ek_sh=None):
     """Steps 1..k*n-1 of the XZW blind rotation in one pallas_call.
 
     ek_steps: [S, nb, dG, 2, N] i32 (S = k*n - 1, step-major rows of the
     UniEnc key, the scan's ek_flat[1:]); pkey: [k, dG, N]; acc: [B, k, N]
-    EVAL after the unrolled KDM step 0; c_steps: [S, B] rotation indices.
+    EVAL after the unrolled KDM step 0; c_steps: [S, B] rotation indices;
+    ek_sh: u32 Shoup companions of ek_steps (precomputed at keygen — the
+    in-graph u64 fallback is for raw test keys only).
     Bit-equal to the lax.scan path in acc/xzw.py.
     """
     Q, N = params.Q, params.N
@@ -588,6 +620,8 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
     Bp = B + pad
 
     pkeysh = _shoup_companions(pkey, Q)
+    if ek_sh is None:
+        ek_sh = _shoup_companions(ek_steps, Q)
     hi_l, lo_l, losh_l, hish_l = nttm._get_pm_hilo_s8(tables)
     hi_t, lo_t, losh_t, hish_t = (jnp.asarray(hi_l), jnp.asarray(lo_l),
                                   jnp.asarray(losh_l), jnp.asarray(hish_l))
@@ -600,19 +634,28 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary):
 
     scratch = [
         pltpu.VMEM((2, nb, dG, 2, N), I32),   # ek double buffer
-        pltpu.SemaphoreType.DMA((1, 2)),
+        pltpu.VMEM((2, nb, dG, 2, N), U32),   # ek_sh double buffer
+        pltpu.SemaphoreType.DMA((2, 2)),
     ]
+    # per-tile c block, lane-padded to 128: [G, S, 128] (the [S, BT]
+    # layout violates the VMEM lane rule when BT < 128)
+    G = Bp // BT
+    c_tiles = c_steps.T.reshape(G, BT, S)
+    if BT < 128:
+        c_tiles = jnp.concatenate(
+            [c_tiles, jnp.zeros((G, 128 - BT, S), c_steps.dtype)], axis=1)
+    c_tiles = c_tiles.transpose(0, 2, 1)                  # [G, S, 128]
     with jax.enable_x64(False):   # 32-bit kernel tracing (see cggi note)
         out = _pallas_xzw(kernel, scratch, Bp, BT, k, dG, N, mxu, acc,
-                          ek_steps, c_steps, pkey, pkeysh, winv, wfwd,
-                          shift, hi_t, lo_t, losh_t, hish_t)
+                          ek_steps, ek_sh, c_tiles, pkey, pkeysh, winv,
+                          wfwd, shift, hi_t, lo_t, losh_t, hish_t)
     return out[:B] if pad else out
 
 
 def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
-                c_steps, pkey, pkeysh, winv, wfwd, shift, hi_t, lo_t,
-                losh_t, hish_t):
-    n_steps = c_steps.shape[0]
+                ek_sh, c_tiles, pkey, pkeysh, winv, wfwd, shift, hi_t,
+                lo_t, losh_t, hish_t):
+    S = c_tiles.shape[1]
     return pl.pallas_call(
         kernel,
         grid=(B // BT,),
@@ -621,8 +664,9 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
             pl.BlockSpec((BT, k, N), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),     # ek steps (HBM)
-            pl.BlockSpec((n_steps, BT), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),  # c indices
+            pl.BlockSpec(memory_space=pl.ANY),     # ek_sh (HBM)
+            pl.BlockSpec((1, S, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # c per tile
             pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
@@ -648,5 +692,5 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024),
         interpret=_interpret(),
-    )(acc, ek_steps, c_steps, pkey, pkeysh, winv, wfwd, shift,
+    )(acc, ek_steps, ek_sh, c_tiles, pkey, pkeysh, winv, wfwd, shift,
       hi_t, lo_t, losh_t, hish_t)

@@ -66,10 +66,12 @@ def load_mkntru_vectors(path: str):
 
     ksk = _read(path, "kskey", (k, N * dks, n))
 
+    ek_sh = (ek_arr.astype(np.uint64) << np.uint64(32)) // np.uint64(Q)
     bs = UniEncKey(
         ek=jnp.asarray(ek_arr, I32),
         ekstar=jnp.asarray(ekstar, I32),
-        pkey=jnp.asarray(pkey, I32))
+        pkey=jnp.asarray(pkey, I32),
+        ek_sh=jnp.asarray(ek_sh.astype(np.uint32)))
     ek = boot.UniEncBTKey(
         bs=bs,
         ks=MNTRUSwitchingKey(ksk=jnp.asarray(ksk, I32)),
@@ -171,10 +173,12 @@ def load_mklwe_vectors(path: str):
     pkey = host_ntt_fwd(tables, _read(path, "pkey", (k, dg, N)))
     fvec = _read(path, "fvec", (k, N))
 
+    ek_sh = (ek_arr.astype(np.uint64) << np.uint64(32)) // np.uint64(Q)
     bs = UniEncKey(
         ek=jnp.asarray(ek_arr, I32),
         ekstar=jnp.asarray(ekstar, I32),
-        pkey=jnp.asarray(pkey, I32))
+        pkey=jnp.asarray(pkey, I32),
+        ek_sh=jnp.asarray(ek_sh.astype(np.uint32)))
     ks = MKLWESwitchingKey(
         A=jnp.asarray(_read(path, "ksk_a", (k, N, bks, dks, n)), I32),
         B=jnp.asarray(_read(path, "ksk_b", (k, N, bks, dks)), I32))
