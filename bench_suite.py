@@ -130,6 +130,8 @@ def main():
 
     @jax.jit
     def ntt_mxu_s8(x):
+        # recombine with (2^shift mod Q) — raw shifts overflow int64 at
+        # N = 2048 (the r1 bug; production fix at ops/ntt.py)
         acc = jnp.zeros((x.shape[0], N), I64)
         for la in range(a_limbs):
             xl = ((x >> (la * a_bits)) & ((1 << a_bits) - 1)).astype(jnp.int8)
@@ -137,7 +139,8 @@ def main():
                 part = jax.lax.dot_general(
                     xl, Wl8[lb], (((1,), (0,)), ((), ())),
                     preferred_element_type=I32)
-                acc = acc + (part.astype(I64) << (la * a_bits + lb * limb_bits))
+                smod = pow(2, la * a_bits + lb * limb_bits, Q)
+                acc = acc + part.astype(I64) * smod
         return (acc % Q).astype(I32)
 
     try:
@@ -171,8 +174,8 @@ def main():
                 part = jax.lax.dot_general(
                     xl, Wbf[lb], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32)
-                acc = acc + (part.astype(I64)
-                             << (la * a_bits_bf + lb * limb_bits_bf))
+                smod = pow(2, la * a_bits_bf + lb * limb_bits_bf, Q)
+                acc = acc + part.astype(I64) * smod
         return (acc % Q).astype(I32)
 
     try:
