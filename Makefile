@@ -23,12 +23,19 @@ native:
 oracle-build:
 	bash oracle/build.sh
 
-# PLAN #7: regenerate reference-captured vectors with the oracle
+# Regenerate ALL 9 reference-captured vector dirs with the oracle
 # binaries, then re-verify our kernels bit-exactly against them
+# (r3 VERDICT weak #6: the full matrix must reproduce from one target).
+# NOTE the reference enum suffixes: _2 = 4 parties, _3 = 8, _4 = 16.
 oracle-check: oracle-build
-	./oracle/capture_mkntru oracle/vectors/std100_mkntru STD100_MKNTRU
-	./oracle/capture_mkntru oracle/vectors/std100_mkntru_k4 STD100_MKNTRU_4
-	./oracle/capture_mklwe  oracle/vectors/std100_mklwe
-	./oracle/capture_ginx   oracle/vectors/std128_ginx GINX
-	./oracle/capture_ginx   oracle/vectors/std128_ap   AP
-	$(PY) -m pytest tests/test_bitexact_oracle.py -x -q
+	bash oracle/build_captures.sh
+	./oracle/capture_mkntru  oracle/vectors/std100_mkntru    STD100_MKNTRU
+	./oracle/capture_mkntru  oracle/vectors/std100_mkntru_k4 STD100_MKNTRU_2
+	./oracle/capture_mkntru  oracle/vectors/std100_mkntru_k8 STD100_MKNTRU_3
+	./oracle/capture_mkntru  oracle/vectors/std128_mkntru    STD128_MKNTRU
+	./oracle/capture_mklwe   oracle/vectors/std100_mklwe
+	./oracle/capture_ginx    oracle/vectors/std128_ginx GINX
+	./oracle/capture_ginx    oracle/vectors/std128_ap   AP
+	./oracle/capture_lmkcdey oracle/vectors/std128_lmkcdey
+	./oracle/capture_xzddf   oracle/vectors/p128t_xzddf
+	$(PY) -m pytest tests/test_bitexact_oracle.py tests/test_interop_cereal.py -x -q

@@ -58,11 +58,16 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
 
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()                      # compile + warmup
-    t0 = time.perf_counter()
+    # per-rep wall time with a host fetch per rep (median): robust to the
+    # axon-tunnel async/caching artifact class (BASELINE.md measurement
+    # integrity note; a block on only the final value once read 0.0s)
+    times = []
     for r in range(reps):
+        t0 = time.perf_counter()
         out = fn(c1s[r], ct2.c)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        np.asarray(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     want = 1 - (m1 & m2)
     ct_out = type(cc.ct_nand)(np.asarray(out))
@@ -115,7 +120,9 @@ def bench_ginx(paramset: str, batch: int, reps: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--paramset", default="STD100_MKNTRU")
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: measured-best per mode (256 MK / "
+                         "512 single-key; BASELINE.md r3 ladder)")
     ap.add_argument("--reps", type=int, default=1)
     ap.add_argument("--single-key", action="store_true")
     ap.add_argument("--sharded", action="store_true")
@@ -136,6 +143,11 @@ def main():
     if impl == "auto":
         impl = "butterfly" if jax.default_backend() == "cpu" else "mxu_s8"
     _ntt.set_default_impl(impl)
+
+    if args.batch is None:
+        # measured-best defaults (BASELINE.md r3 ladder): MK peaks at
+        # batch 256; single-key GINX at 512 (BT=256 tile)
+        args.batch = 512 if args.single_key else 256
 
     def run():
         if args.sharded:
@@ -242,15 +254,25 @@ def bench_sharded(paramset: str, batch: int, reps: int, party: int):
     m2 = np.resize(np.array([0, 1, 0, 1]), batch)
     ct1, ct2 = cc.Encrypt(sk, m1), cc.Encrypt(sk, m2)
 
+    # distinct input per rep (fresh Enc(0) randomizer, same scheme as
+    # bench_mkntru) so no layer can serve a cached execution (r3 VERDICT
+    # weak #3)
+    zero = np.zeros(batch, np.int64)
+    c1s = [mntru_mod.eval_add(
+               ct1, cc.Encrypt(sk, zero), cc.params.mntru.q).c
+           for _ in range(reps)]
+
     with mesh:
         fn, _ = shard_mk_gate(mesh, cc.tables, cc.params, cc.mk_bt_key)
         out = fn(cc.ct_nand.c, ct1.c, ct2.c)
         out.block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(cc.ct_nand.c, ct1.c, ct2.c)
-        out.block_until_ready()
-        dt = (time.perf_counter() - t0) / reps
+        times = []
+        for r in range(reps):
+            t0 = time.perf_counter()
+            out = fn(cc.ct_nand.c, c1s[r], ct2.c)
+            np.asarray(out)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
         out_np = np.asarray(out)
 
     ct_out = mntru_mod.MNTRUCiphertext(out_np)

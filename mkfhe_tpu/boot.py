@@ -231,7 +231,10 @@ def eval_bin_gate_multi(
 def _bootstrap_jit(tables, params, ek, a, b, p):
     lp = params.lwe
     prep = lwe.eval_add_const(lwe.LWECiphertext(a, b), lp.q >> 2, lp.q)
-    m = make_gate_test_vector(params, BINGATE.AND, prep.b)
+    # p flows into BOTH the test-vector amplitude and the output offset
+    # (the reference reads p off the ciphertext for both,
+    # binfhe-base-scheme.cpp:699/1205)
+    m = make_gate_test_vector(params, BINGATE.AND, prep.b, p)
     acc = bootstrap_gate_core(tables, params, ek.bs, m, prep.a)
     return extract_and_switch(
         tables, params, ek.ks, acc, lp.Q // (2 * p) + 1)
@@ -419,7 +422,8 @@ def _mk_gate_mntru_jit(tables, params, ek, ct_nand_c, c1, c2):
 
     ext = _mk_extract(tables, params, acc)             # [..., k, N]
     ct_ms = mntru.mod_switch(mntru.MNTRUCiphertext(ext), mp.q_ks, up.Q)
-    return mntru.key_switch2(ct_ms, ek.ks, mp.q_ks, mp.base_ks, mp.digits_ks)
+    return mntru.key_switch2(
+        ct_ms, ek.ks, mp.q_ks, mp.base_ks, mp.digits_ks, signed=mp.ks_signed)
 
 
 def eval_bin_gate_mntru(

@@ -203,10 +203,19 @@ class BinFHEContext:
             self.tables, self.params, gate, self.bt_key, ct1, ct2)
 
     def EvalBinGateMulti(self, gate: BINGATE, cts: list,
-                         p: int = 4) -> lwe.LWECiphertext:
+                         p: int | None = None) -> lwe.LWECiphertext:
         """3/4-input gates + CMUX (binfhe-base-scheme.cpp:636-692). p is
         the inputs' plaintext modulus (the reference reads it off the
-        ciphertexts' ptModulus: 6 for 3-input, 8 for 4-input gates)."""
+        ciphertexts' ptModulus: 6 for 3-input, 8 for 4-input gates); when
+        not given it is inferred from the gate so a forgotten p cannot
+        silently produce wrong outputs."""
+        if p is None:
+            if gate in (BINGATE.MAJORITY, BINGATE.AND3, BINGATE.OR3):
+                p = 6
+            elif gate in (BINGATE.AND4, BINGATE.OR4):
+                p = 8
+            else:
+                p = 4
         return boot.eval_bin_gate_multi(
             self.tables, self.params, gate, self.bt_key, cts, p)
 

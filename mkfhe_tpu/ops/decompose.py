@@ -63,6 +63,33 @@ def signed_digit_decompose_pair(a0, a1, q: int, base: int, digits: int,
     return out.reshape((2 * digits,) + d0.shape[1:])
 
 
+def base_digits_signed(a, q: int, base: int, digits: int):
+    """EXACT balanced base-B digits of the centered representative,
+    LSB first: [digits, ...] int32 with entries in [-base/2, base/2).
+
+    Recomposition: sum_j out[j] * B^j == (a if a <= q/2 else a - q), with a
+    zero remainder (requires B^digits >= q, which `digit_count` guarantees).
+
+    Used by the production MNTRU KeySwitch2 (signed-digit consumption of
+    the same j-linear KSK the reference expands at mntru-pke.cpp:743-753):
+    E[d^2] drops from (B-1)(2B-1)/6 to ~B^2/12, cutting key-switch noise
+    ~2x with identical correctness semantics — the decisive term at high
+    party counts (k=8/16)."""
+    half_base = base // 2
+    mask = base - 1
+    gbits = base.bit_length() - 1
+    halfq = q >> 1
+
+    d = a.astype(I32)
+    d = jnp.where(d > halfq, d - q, d)
+    outs = []
+    for _ in range(digits):
+        r = ((d + half_base) & mask) - half_base
+        outs.append(r.astype(I32))
+        d = (d - r) >> gbits
+    return jnp.stack(outs, axis=0)
+
+
 def base_digits_unsigned(a, base: int, digits: int):
     """Plain unsigned base-B digits, LSB first: [digits, ...] int32.
 

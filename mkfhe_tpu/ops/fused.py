@@ -68,6 +68,27 @@ def set_batch_tile(bt: int) -> None:
     _BT_MAX = bt
 
 
+def get_batch_tile() -> int:
+    return _BT_MAX
+
+
+class batch_tile:
+    """Context manager that overrides the batch tile and restores the
+    prior value (and compilation caches) on exit — for tests that
+    exercise the padding paths without leaking global state."""
+
+    def __init__(self, bt: int):
+        self.bt = bt
+
+    def __enter__(self):
+        self.prev = _BT_MAX
+        set_batch_tile(self.bt)
+
+    def __exit__(self, *exc):
+        set_batch_tile(self.prev)
+        return False
+
+
 # ------------------------------------------------- in-kernel exact helpers
 
 def _limbs_s8(x_u32, n_limbs: int):
@@ -335,6 +356,12 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
     Q, N = params.Q, params.N
     dg = params.digits_g - 1
     dg2 = 2 * dg
+    # even the non-full_lazy fallback accumulates dg2 lazy Shoup terms
+    # (each < 2Q) in u32 before its Barrett reduction — fail loudly for
+    # custom params where that intermediate would wrap (ADVICE r3)
+    assert 2 * dg2 * Q < (1 << 32), (
+        f"2*dg2*Q = {2 * dg2 * Q:#x} overflows the u32 lazy accumulator "
+        f"(Q={Q}, digits_g={params.digits_g}); use a larger base_g")
     B = acc.shape[0]
     n_steps = key_arr.shape[0]
     n_limbs_q = -(-(Q - 1).bit_length() // 7)
@@ -595,6 +622,11 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary,
     """
     Q, N = params.Q, params.N
     dG = params.digits_g - 1
+    # the uj/w contractions hold up to 2*dG*Q (+2Q slack) in u32 before
+    # reduction even when full_lazy is off — guard custom params (ADVICE r3)
+    assert 2 * dG * Q + 2 * Q < (1 << 32), (
+        f"2*dG*Q+2Q = {2 * dG * Q + 2 * Q:#x} overflows the u32 lazy "
+        f"accumulator (Q={Q}, digits_g={params.digits_g})")
     B = acc.shape[0]
     k = acc.shape[1]
     S = ek_steps.shape[0]

@@ -46,7 +46,8 @@ def load_mkntru_vectors(path: str):
                       key_dist=SecretKeyDist.UNIFORM_TERNARY)
     mntru_p = MNTRUParams(k=k, n=n, N=N, q=q, Q=Q, q_ks=qks, std=0.75,
                           base_ks=meta["bks"],
-                          key_dist=SecretKeyDist.UNIFORM_TERNARY)
+                          key_dist=SecretKeyDist.UNIFORM_TERNARY,
+                          ks_signed=False)  # reference-parity unsigned digits
     unienc_p = UniEncParams(k=k, N=N, Q=Q, q=q, base_g=meta["baseG"],
                             method=BINFHE_METHOD.MKNTRU,
                             key_dist=SecretKeyDist.UNIFORM_TERNARY)

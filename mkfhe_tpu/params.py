@@ -106,7 +106,12 @@ class UniEncParams:
 
 @dataclass(frozen=True)
 class MNTRUParams:
-    """MNTRUCryptoParams (mntru-cryptoparameters.h)."""
+    """MNTRUCryptoParams (mntru-cryptoparameters.h).
+
+    ks_signed: consume the j-linear KSK2 with exact balanced digits
+    (production default; ~2x lower key-switch noise — decisive at k=8/16).
+    False reproduces the reference's unsigned digit loop
+    (mntru-pke.cpp:782-791) for bit-exact oracle comparison."""
 
     k: int
     n: int
@@ -117,6 +122,7 @@ class MNTRUParams:
     std: float
     base_ks: int
     key_dist: SecretKeyDist
+    ks_signed: bool = True
 
     @property
     def digits_ks(self) -> int:

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..constants import SecretKeyDist
 from ..keygen import sample_invertible_matrix
-from ..ops.decompose import base_digits_unsigned
+from ..ops.decompose import base_digits_signed, base_digits_unsigned
 from ..ops.modmath import (
     I32, I64, exact_mod_matmul, mod_add, mod_sub, round_q_Q)
 from ..params import MNTRUParams
@@ -168,13 +168,14 @@ def key_switch_gen2(
     return MNTRUSwitchingKey(jnp.asarray(out, I32))
 
 
-@partial(jax.jit, static_argnames=("q_ks", "base_ks", "digits_ks"))
+@partial(jax.jit, static_argnames=("q_ks", "base_ks", "digits_ks", "signed"))
 def key_switch2(
     ct: MNTRUCiphertext,
     ksk: MNTRUSwitchingKey,
     q_ks: int,
     base_ks: int,
     digits_ks: int,
+    signed: bool = True,
 ) -> MNTRUCiphertext:
     """c'[u] = digits(c[u]) @ KSK[u] mod qKS (KeySwitch2,
     mntru-pke.cpp:763-823, with the j-scaled table replaced by an on-the-fly
@@ -183,13 +184,27 @@ def key_switch2(
     ct.c: [..., k, N]; output [..., k, n]. The contraction is an
     MXU-friendly batched integer matmul (digits < Bks, entries < qKS:
     N*d * Bks * qKS < 2**63 — exact in int64).
+
+    signed=True (production default) consumes the SAME j-linear KSK with
+    EXACT balanced digits d in [-Bks/2, Bks/2): the gadget part still
+    recomposes to <c_hat, s> == <c, s> (mod qKS), while E[d^2] falls
+    ~(B-1)(2B-1)/6 -> B^2/12, i.e. key-switch noise drops ~2x — the term
+    that blows the q/8 margin at k=8/16 with unsigned digits. The lifted
+    digits u = d + Bks/2 stay in [0, Bks), so the MXU contraction is
+    unchanged; the constant shift is repaired with Bks/2 * rowsum(KSK).
+    signed=False reproduces the reference's unsigned consumption
+    (mntru-pke.cpp:782-791) for bit-exact oracle comparison.
     """
     k, Nd, n = ksk.ksk.shape
     N = Nd // digits_ks
     lead = ct.c.shape[:-2]
     c = ct.c.reshape(-1, k, N)
 
-    dig = base_digits_unsigned(c, base_ks, digits_ks)     # [d, B, k, N]
+    if signed:
+        dig = base_digits_signed(c, q_ks, base_ks, digits_ks)  # [d, B, k, N]
+        dig = dig + (base_ks // 2)                    # lift to [0, Bks)
+    else:
+        dig = base_digits_unsigned(c, base_ks, digits_ks)
     dig = jnp.moveaxis(dig, 0, -1)                        # [B, k, N, d]
     dig = dig.reshape(-1, k, Nd)                          # row-major (i*d+j)
 
@@ -199,4 +214,10 @@ def key_switch2(
         jnp.moveaxis(dig, 1, 0),                          # [k, B, Nd]
         ksk.ksk, q_ks, a_bits=dig_bits)                   # [k, B, n]
     out = jnp.moveaxis(out, 0, 1)                         # [B, k, n]
+    if signed:
+        # undo the +Bks/2 lift: subtract (Bks/2) * sum_l KSK[u][l]
+        rowsum = jnp.sum(ksk.ksk.astype(I64), axis=1) % q_ks   # [k, n]
+        shift = (rowsum * (base_ks // 2)) % q_ks
+        out = (out.astype(I64) - shift[None].astype(I64)) % q_ks
+        out = out.astype(I32)
     return MNTRUCiphertext(out.reshape(*lead, k, n))

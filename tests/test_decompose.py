@@ -89,3 +89,71 @@ def test_unsigned_digits():
     )
     recomposed = sum(got[d] * base**d for d in range(digits))
     np.testing.assert_array_equal(recomposed, vals)
+
+
+def test_base_digits_signed_exact_recomposition():
+    """Balanced digits recompose EXACTLY to the centered representative
+    (zero remainder) — required by the production signed KeySwitch2."""
+    from mkfhe_tpu.ops.decompose import base_digits_signed
+
+    q = 45181  # STD100_MKNTRU qKS
+    base = 32
+    digits = 4  # ceil(log_32 45181)
+    vals = np.concatenate([
+        RNG.integers(0, q, size=2000),
+        np.array([0, 1, q - 1, q // 2, q // 2 + 1, base - 1, base]),
+    ])
+    dig = np.asarray(
+        base_digits_signed(jnp.asarray(vals, jnp.int32), q, base, digits),
+        np.int64)
+    assert dig.min() >= -base // 2 and dig.max() < base // 2
+    pows = base ** np.arange(digits, dtype=np.int64)
+    recomposed = (dig * pows[:, None]).sum(axis=0)
+    centered = np.where(vals > q // 2, vals.astype(np.int64) - q, vals)
+    np.testing.assert_array_equal(recomposed, centered)
+
+
+def test_key_switch2_signed_equals_unsigned_with_noiseless_ksk():
+    """With a zero-noise KSK both digit conventions must produce
+    ciphertexts with the SAME decryption inner product mod qKS."""
+    from mkfhe_tpu.keygen import sample_invertible_matrix
+    from mkfhe_tpu.rng import Sampler
+    from mkfhe_tpu.schemes import mntru
+    from mkfhe_tpu.constants import SecretKeyDist
+
+    qks, bks = 45181, 32
+    d = 4
+    k, n, N = 2, 16, 32
+    s = Sampler(11)
+    Fs, Finvs = [], []
+    for _ in range(k):
+        F, Fi = sample_invertible_matrix(
+            s, n, qks, SecretKeyDist.UNIFORM_TERNARY, std=1.0)
+        Fs.append(F)
+        Finvs.append(Fi)
+    sk = mntru.MNTRUPrivateKey(np.stack(Fs), np.stack(Finvs))
+    skN = s.ternary((k, N)) % qks
+
+    # noiseless KSK: gadget rows only
+    pow_b = (bks ** np.arange(d, dtype=np.int64)) % qks
+    ksk = np.zeros((k, N * d, n), dtype=np.int64)
+    for u in range(k):
+        E = np.zeros((N * d, n), dtype=np.int64)
+        gad = (skN[u][:, None] * pow_b[None, :]).reshape(N * d) % qks
+        E[:, 0] = gad
+        Es = np.where(E > qks // 2, E - qks, E)
+        Fi = np.where(sk.F_inv[u] > qks // 2,
+                      sk.F_inv[u].astype(np.int64) - qks, sk.F_inv[u])
+        ksk[u] = (Es @ Fi) % qks
+    kskey = mntru.MNTRUSwitchingKey(jnp.asarray(ksk, jnp.int32))
+
+    c = RNG.integers(0, qks, size=(3, k, N))
+    ct = mntru.MNTRUCiphertext(jnp.asarray(c, jnp.int32))
+    out_u = mntru.key_switch2(ct, kskey, qks, bks, d, signed=False)
+    out_s = mntru.key_switch2(ct, kskey, qks, bks, d, signed=True)
+
+    F0 = sk.F_col0.astype(np.int64)
+    F0 = np.where(F0 > qks // 2, F0 - qks, F0)
+    inner_u = np.einsum("bkn,kn->bk", np.asarray(out_u.c, np.int64), F0) % qks
+    inner_s = np.einsum("bkn,kn->bk", np.asarray(out_s.c, np.int64), F0) % qks
+    np.testing.assert_array_equal(inner_u, inner_s)

@@ -103,11 +103,8 @@ def test_cggi_fused_batch_padding():
     ref = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
 
     fused.set_mode("on")
-    fused.set_batch_tile(4)        # 6 % 4 != 0 -> exercises the pad path
-    try:
+    with fused.batch_tile(4):      # 6 % 4 != 0 -> exercises the pad path
         got = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
-    finally:
-        fused.set_batch_tile(128)
 
     np.testing.assert_array_equal(got, ref)
 
@@ -121,12 +118,9 @@ def test_xzw_fused_batch_padding():
     ref = np.asarray(xzw.eval_acc(tables, params, key, acc, c_all, False))
 
     fused.set_mode("on")
-    fused.set_batch_tile(4)
-    try:
+    with fused.batch_tile(4):
         got = np.asarray(
             xzw.eval_acc(tables, params, key, acc, c_all, False))
-    finally:
-        fused.set_batch_tile(128)
 
     np.testing.assert_array_equal(got, ref)
 

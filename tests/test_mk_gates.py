@@ -154,3 +154,50 @@ def test_mntru_keyswitch_noise_behavior_vs_reference_ksk():
     pred = (mp.k * mp.N * mp.digits_ks * ed2) ** 0.5 * mp.std
     assert n_ours < 2.5 * (pred + n_ref), (n_ours, pred, n_ref)
     assert n_ours < mp.q / 8, "outside decryption margin"
+
+
+def test_mntru_signed_keyswitch_halves_ks_noise():
+    """r3 VERDICT weak #1: unsigned-digit KS noise alone eats ~75% of the
+    q/8 margin at k=16. The production path now consumes the same KSK with
+    exact balanced digits (E[d^2]: (B-1)(2B-1)/6 -> ~B^2/12, a ~3.8x
+    variance cut). Measured here at STD100 on the captured oracle secrets:
+    the signed gate noise must come in clearly below the unsigned gate
+    noise with the same fresh-rows KSK."""
+    import dataclasses
+    import os
+
+    vec = os.path.join(os.path.dirname(__file__), "..", "oracle",
+                       "vectors", "std100_mkntru")
+    if not os.path.exists(os.path.join(vec, "kskey.bin")):
+        pytest.skip("oracle vectors not generated")
+
+    from mkfhe_tpu import boot
+    from mkfhe_tpu.oracle_io import load_mkntru_vectors
+    from mkfhe_tpu.rng import Sampler
+    from mkfhe_tpu.schemes import mntru
+    from mkfhe_tpu.utils import metrics
+
+    params, tables, ek_ref, cts, (sk_F, sk_Finv) = load_mkntru_vectors(vec)
+    mp = params.mntru          # ks_signed=False from the oracle loader
+    sk = mntru.MNTRUPrivateKey(F=sk_F, F_inv=sk_Finv)
+    fvec = np.asarray(ek_ref.f_coeff, np.int64)
+    ksk_ours = mntru.key_switch_gen2(Sampler(202), mp, sk, fvec)
+    ek = ek_ref._replace(ks=ksk_ours)
+
+    def gate_noise(params_):
+        out = boot.eval_bin_gate_mntru(
+            tables, params_, BINGATE.NAND, ek,
+            cts["ct1"], cts["ct2"], cts["ctnand"])
+        res = mntru.decrypt(params_.mntru, sk, out)
+        assert int(res) == 1
+        e = metrics.noise_mntru(params_.mntru, sk, out, np.asarray([1]))
+        return float(np.abs(e).max())
+
+    params_signed = dataclasses.replace(
+        params, mntru=dataclasses.replace(mp, ks_signed=True))
+    n_unsigned = gate_noise(params)
+    n_signed = gate_noise(params_signed)
+    # one gate sample each; same KSK, same blind-rotation noise floor.
+    # Expected std ratio ~1.95 on the KS term; assert a loose improvement.
+    assert n_signed < n_unsigned, (n_signed, n_unsigned)
+    assert n_signed < mp.q / 8

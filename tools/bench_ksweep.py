@@ -45,11 +45,19 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
                            cc.params.mntru.q).c for _ in range(reps)]
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()
-    t0 = time.perf_counter()
+    # per-rep wall time with a host fetch per rep: block_until_ready on
+    # the final value alone produced a 0.0s reading once over the axon
+    # tunnel (r3 ksweep k=8 artifact); fetching each output to host and
+    # taking the median is robust to both caching and async-dispatch
+    # anomalies.
+    times = []
     for r in range(reps):
+        t0 = time.perf_counter()
         out = fn(c1s[r], ct2.c)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        np.asarray(out)                 # device->host fetch forces completion
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    timing_suspect = bool(min(times) < 0.5 * dt or dt <= 0.0)
 
     want = 1 - (m1 & m2)
     ct_out = type(cc.ct_nand)(np.asarray(out))
@@ -72,6 +80,8 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
         "noise_p99": round(noise["p99"], 0),
         "noise_margin_frac": round(noise["margin_frac"], 3),
         "correct": bool(np.array_equal(res, want)),
+        "rep_times_sec": [round(t, 3) for t in times],
+        "timing_suspect": timing_suspect,
     }
 
 

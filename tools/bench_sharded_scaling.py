@@ -45,6 +45,13 @@ def main():
     m2 = np.resize(np.array([0, 1, 0, 1]), batch)
     ct1, ct2 = cc.Encrypt(sk, m1), cc.Encrypt(sk, m2)
 
+    # distinct input per rep (fresh Enc(0) randomizer) — identical-input
+    # rep loops are cache-vulnerable (r3 VERDICT weak #3)
+    zero = np.zeros(batch, np.int64)
+    c1s = [mntru_mod.eval_add(
+               ct1, cc.Encrypt(sk, zero), cc.params.mntru.q).c
+           for _ in range(reps)]
+
     rows = []
     for n_dev, party in ((1, 1), (2, 2), (4, 2), (8, 2)):
         mesh = make_mesh(n_dev, party=party)
@@ -52,11 +59,13 @@ def main():
             fn, _ = shard_mk_gate(mesh, cc.tables, cc.params, cc.mk_bt_key)
             out = fn(cc.ct_nand.c, ct1.c, ct2.c)
             out.block_until_ready()
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                out = fn(cc.ct_nand.c, ct1.c, ct2.c)
-            out.block_until_ready()
-            dt = (time.perf_counter() - t0) / reps
+            times = []
+            for r in range(reps):
+                t0 = time.perf_counter()
+                out = fn(cc.ct_nand.c, c1s[r], ct2.c)
+                np.asarray(out)
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times))
             out_np = np.asarray(out)
         res = mntru_mod.decrypt(
             cc.params.mntru, sk, mntru_mod.MNTRUCiphertext(out_np))
