@@ -1,5 +1,9 @@
 // Test-vector capture for the MKLWE (boolean-mklwe) path.
-// Layout notes in capture_mkntru.cpp. Usage: capture_mklwe <outdir>
+// Layout notes in capture_mkntru.cpp.
+// Usage: capture_mklwe <outdir> [paramset]
+//        paramset: STD100_MKNTRU_LWE (k=2, default) | STD100_MKNTRU_LWE_2
+//        (k=4) | STD100_MKNTRU_LWE_3 (k=8) | STD100_MKNTRU_LWE_4 (k=16)
+//        (binfhecontext.cpp:141-144)
 
 #include "binfhecontext.h"
 
@@ -35,9 +39,21 @@ int main(int argc, char** argv) {
         return 1;
     }
     g_dir = argv[1];
+    std::string set = argc > 2 ? argv[2] : "STD100_MKNTRU_LWE";
 
     auto cc = BinFHEContext();
-    cc.GenerateBinFHEContext(STD100_MKNTRU_LWE, MKNTRU_LWE);
+    if (set == "STD100_MKNTRU_LWE")
+        cc.GenerateBinFHEContext(STD100_MKNTRU_LWE, MKNTRU_LWE);
+    else if (set == "STD100_MKNTRU_LWE_2")
+        cc.GenerateBinFHEContext(STD100_MKNTRU_LWE_2, MKNTRU_LWE);
+    else if (set == "STD100_MKNTRU_LWE_3")
+        cc.GenerateBinFHEContext(STD100_MKNTRU_LWE_3, MKNTRU_LWE);
+    else if (set == "STD100_MKNTRU_LWE_4")
+        cc.GenerateBinFHEContext(STD100_MKNTRU_LWE_4, MKNTRU_LWE);
+    else {
+        std::fprintf(stderr, "unknown paramset %s\n", set.c_str());
+        return 1;
+    }
 
     auto params = cc.GetParams();
     auto scheme = cc.GetBinFHEScheme();
@@ -55,7 +71,7 @@ int main(int argc, char** argv) {
 
     {
         std::ofstream meta(g_dir + "/meta.txt");
-        meta << "paramset STD100_MKNTRU_LWE\nk " << k << "\nn " << n
+        meta << "paramset " << set << "\nk " << k << "\nn " << n
              << "\nN " << N << "\nq " << q << "\nQ " << Q << "\nqks " << qks
              << "\nbks " << bks << "\nbaseG " << (uint32_t)up->GetBaseG()
              << "\ndigitsG " << (dg + 1) << "\ndks " << dks << "\n";

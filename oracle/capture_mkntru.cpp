@@ -54,6 +54,8 @@ int main(int argc, char** argv) {
         cc.GenerateBinFHEContext(STD128_MKNTRU, MKNTRU);
     } else if (set == "STD100_MKNTRU_3") {          // k = 8 parties
         cc.GenerateBinFHEContext(STD100_MKNTRU_3, MKNTRU);
+    } else if (set == "STD100_MKNTRU_4") {          // k = 16 parties
+        cc.GenerateBinFHEContext(STD100_MKNTRU_4, MKNTRU);
     } else {  // TOY: small custom params, mirrors our TOY_MKNTRU set
         BinFHEContextParams p{2,     27,    1024, 64, 45181, 45181,
                               0.75,  32,    1 << 9, 32, 10,
