@@ -58,14 +58,16 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
 
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()                      # compile + warmup
-    # per-rep wall time with a host fetch per rep (median): robust to the
+    # per-rep wall time, blocking each rep (median): robust to the
     # axon-tunnel async/caching artifact class (BASELINE.md measurement
-    # integrity note; a block on only the final value once read 0.0s)
+    # integrity note; a block on only the final value once read 0.0s).
+    # block_until_ready, not a host fetch — a fetch costs a tunnel
+    # roundtrip per rep (~0.2s, measured 249 vs ~300 gates/s)
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
         out = fn(c1s[r], ct2.c)
-        np.asarray(out)
+        out.block_until_ready()         # completion without a host fetch
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
@@ -270,7 +272,7 @@ def bench_sharded(paramset: str, batch: int, reps: int, party: int):
         for r in range(reps):
             t0 = time.perf_counter()
             out = fn(cc.ct_nand.c, c1s[r], ct2.c)
-            np.asarray(out)
+            out.block_until_ready()
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         out_np = np.asarray(out)

@@ -162,3 +162,123 @@ def eval_acc(
     xs = (key.key, c_pos.T, c_neg.T)
     acc, _ = jax.lax.scan(step, acc, xs)
     return acc.reshape(*lead, 2, N)
+
+
+# ===================================================== dual-limb RNS (big Q)
+
+def key_gen_acc_rns(
+    sampler: Sampler,
+    params: RGSWParams,
+    rt,                       # ops.rns.RNSTables
+    skN: np.ndarray,          # [N] ring secret, values in [0, Q_eff)
+    lwe_sk: np.ndarray,
+    sk_mod: int,
+) -> CGGIKey:
+    """KeyGenAcc for >28-bit moduli over the dual-limb RNS representation
+    (ops/rns.py). Same construction as key_gen_acc, with Z_Q sampling done
+    per limb: independent uniforms over Z_q1 x Z_q2 ARE the CRT image of a
+    uniform over Z_Q, and the small Gaussian/gadget integers reduce per
+    limb. Key layout: [n, 2, dg2, 2, L, N] int32 EVAL."""
+    from ..ops.rns import rns_host_ntt_fwd, to_residues
+
+    n = lwe_sk.shape[0]
+    N, Q = params.N, rt.Q
+    L = len(rt.limbs)
+    dg2 = 2 * (params.digits_g - 1)
+
+    gpow = [pow(params.base_g, i, Q) for i in range(params.digits_g)]
+
+    # independent per-limb uniforms == uniform mod Q (CRT)
+    A = np.stack([sampler.uniform(q, (n, 2, dg2, N))
+                  for q in rt.limbs], axis=-2)            # [n,2,dg2,L,N]
+    # small Gaussian ints, SAME integer reduced into each limb
+    E_int = sampler.discrete_gaussian(params.std, (n, 2, dg2, N))
+    E = np.stack([np.asarray(E_int, np.int64) % q
+                  for q in rt.limbs], axis=-2)
+
+    s = np.asarray(lwe_sk, np.int64)
+    msel = np.stack([s == 1, s == sk_mod - 1], axis=1).astype(np.int64)
+
+    d_idx = np.arange(dg2)
+    gvals = np.asarray([gpow[(d >> 1) + 1] for d in d_idx], dtype=object)
+    A_msg = A.copy()
+    for li, q in enumerate(rt.limbs):
+        gl = np.asarray([int(g) % q for g in gvals], np.int64)
+        addA = np.where((d_idx & 1) == 0, gl, 0)[None, None, :]
+        addE = np.where((d_idx & 1) == 1, gl, 0)[None, None, :]
+        A_msg[:, :, :, li, 0] = (A[:, :, :, li, 0]
+                                 + msel[:, :, None] * addA) % q
+        E[:, :, :, li, 0] = (E[:, :, :, li, 0]
+                             + msel[:, :, None] * addE) % q
+
+    A_eval = rns_host_ntt_fwd(rt, A)
+    A_msg_eval = rns_host_ntt_fwd(rt, A_msg)
+    E_eval = rns_host_ntt_fwd(rt, E)
+    skN_res = to_residues(skN, rt.limbs)                  # [L, N]
+    sk_eval = rns_host_ntt_fwd(rt, skN_res).astype(np.int64)
+    B_eval = np.empty_like(A_eval, dtype=np.int64)
+    for li, q in enumerate(rt.limbs):
+        B_eval[..., li, :] = (
+            E_eval[..., li, :].astype(np.int64)
+            + A_eval[..., li, :].astype(np.int64) * sk_eval[li]) % q
+    key = np.stack([A_msg_eval.astype(np.int64), B_eval], axis=3)
+    return CGGIKey(key=jnp.asarray(key, I32), key_sh=None)
+
+
+def eval_acc_rns(rt, params: RGSWParams, key: CGGIKey, acc, a,
+                 a_mod: int | None = None) -> jnp.ndarray:
+    """Blind rotation over the RNS pair: acc [..., 2, L, N] EVAL,
+    a [..., n] mod q. Per-limb NTT/monomial/contraction; the gadget
+    decomposition recombines via Garner into s64 and re-splits
+    (ops/rns.py). Not fused (capability path; see module docstring)."""
+    from ..ops.poly import monomial_minus_one_eval
+    from ..ops.rns import (
+        rns_digits_to_eval, rns_ntt_inv, rns_signed_digits)
+
+    N = params.N
+    L = len(rt.limbs)
+    q = params.q if a_mod is None else a_mod
+    dg = params.digits_g - 1
+    dg2 = 2 * dg
+    m_by_mod = 2 * N // q
+
+    lead = a.shape[:-1]
+    n = a.shape[-1]
+    acc = acc.reshape(-1, 2, L, N)
+    a2 = a.reshape(-1, n)
+
+    c_pos = (((q - a2) % q).astype(I64) * m_by_mod) % (2 * N)
+    c_neg = (2 * N - c_pos) % (2 * N)
+
+    limbs_col = jnp.asarray(
+        np.asarray(rt.limbs, np.int64)[None, None, :, None])  # [1,1,L,1]
+
+    def step(acc, xs):
+        ek, cp, cn = xs           # ek: [2, dg2, 2, L, N]
+        ct0 = rns_ntt_inv(rt, acc)                       # [B, 2, L, N]
+        d0 = rns_signed_digits(rt, ct0[:, 0], params.base_g, dg)
+        d1 = rns_signed_digits(rt, ct0[:, 1], params.base_g, dg)
+        dig = jnp.stack([d0, d1], axis=1).reshape(
+            (dg2,) + d0.shape[1:])                       # [dg2, B, N]
+        dct = rns_digits_to_eval(rt, dig)                # [dg2, B, L, N]
+        dct = jnp.moveaxis(dct, 0, 1)                    # [B, dg2, L, N]
+
+        prod = (dct[:, None, :, None, :, :].astype(I64)
+                * ek[None].astype(I64)).sum(axis=2)      # [B, 2, 2, L, N]
+        tmp = (prod % limbs_col[..., None, :, :]).astype(I32)
+
+        mons_p = jnp.stack(
+            [monomial_minus_one_eval(rt.tables[i], cp) for i in range(L)],
+            axis=-2)                                     # [B, L, N]
+        mons_n = jnp.stack(
+            [monomial_minus_one_eval(rt.tables[i], cn) for i in range(L)],
+            axis=-2)
+        upd = (tmp[:, 0].astype(I64) * mons_p[:, None].astype(I64)
+               + tmp[:, 1].astype(I64) * mons_n[:, None].astype(I64)
+               ) % limbs_col
+        return ((acc + upd.astype(I32)) % limbs_col.astype(I32)
+                ).astype(I32), None
+
+    xs = (key.key, c_pos.T.astype(I32), c_neg.T.astype(I32))
+    acc, _ = jax.lax.scan(step, acc, xs)
+    return acc.reshape(*lead, 2, L, N)

@@ -569,3 +569,119 @@ def eval_bin_gate_ntru(
         raise NotImplementedError(
             "XZDDF path supports NAND (reference parity)")
     return _ntru_gate_jit(tables, params, ek, ct1.a, ct1.b, ct2.a, ct2.b)
+
+
+# ======================================== dual-limb RNS single-key (big Q)
+
+def bt_key_gen_rns(
+    sampler: Sampler,
+    params: BinFHEParams,
+    rt,
+    lwe_sk: np.ndarray,
+) -> RingGSWBTKey:
+    """BTKeyGen for >28-bit GINX sets over the RNS pair (ops/rns.py)."""
+    lp = params.lwe
+    skN = lwe.key_gen_N(sampler, lp)         # int64, values in [0, Q_eff)
+    ks = lwe.key_switch_gen(sampler, lp, lwe_sk, skN)
+    bs = cggi.key_gen_acc_rns(
+        sampler, params.rgsw, rt, skN, lwe_sk, lp.q_ks)
+    return RingGSWBTKey(bs=bs, ks=ks)
+
+
+def _make_gate_test_vector_rns(rt, params: BinFHEParams, gate: BINGATE, b,
+                               p: int = 4):
+    """Per-limb residues of the gate test vector: [..., L, N] COEFF."""
+    lp = params.lwe
+    q, N = lp.q, lp.N
+    Q = rt.Q
+    q_half = q >> 1
+    factor = 2 * N // q
+    q1, q2 = _gate_range(params, gate)
+    Q2p = Q // (2 * p) + 1
+
+    j = jnp.arange(q_half, dtype=I64)
+    temp = (b[..., None].astype(I64) - j) % q
+    if q1 < q2:
+        neg = (temp >= q1) & (temp < q2)
+    else:
+        neg = ~((temp >= q2) & (temp < q1))
+    outs = []
+    for ql in rt.limbs:
+        pos_l = jnp.asarray(Q2p % ql, I32)
+        neg_l = jnp.asarray((Q - Q2p) % ql, I32)
+        vals = jnp.where(neg, neg_l, pos_l)
+        outs.append(_sparse_embed(vals, q_half, factor, N))
+    return jnp.stack(outs, axis=-2)
+
+
+@partial(jax.jit, static_argnames=("params", "gate"))
+def _gate_rotate_extract_rns(rt, params, gate, bs_key, a1, b1, a2, b2):
+    """Jitted front of the RNS gate: prep, test vector, blind rotation,
+    transpose-extract. Returns per-limb residues (a: [..., L, N],
+    b: [..., L]) still mod Q_eff."""
+    lp = params.lwe
+    L = len(rt.limbs)
+    ct1 = lwe.LWECiphertext(a1, b1)
+    ct2 = lwe.LWECiphertext(a2, b2)
+    if gate in (BINGATE.XOR_FAST, BINGATE.XNOR_FAST):
+        prep = lwe.eval_sub(ct1, ct2, lp.q)
+        prep = lwe.eval_add(prep, prep, lp.q)
+    else:
+        prep = lwe.eval_add(ct1, ct2, lp.q)
+
+    from .ops.rns import rns_ntt_fwd, rns_ntt_inv
+
+    m = _make_gate_test_vector_rns(rt, params, gate, prep.b)
+    m_eval = rns_ntt_fwd(rt, m)                       # [..., L, N]
+    acc = jnp.stack([jnp.zeros_like(m_eval), m_eval], axis=-3)
+    acc = cggi.eval_acc_rns(rt, params.rgsw, bs_key, acc, prep.a)
+
+    a_t = jnp.stack(
+        [transpose_eval(rt.tables[i], acc[..., 0, i, :]) for i in range(L)],
+        axis=-2)
+    a_coeff = rns_ntt_inv(rt, a_t)                    # [..., L, N]
+    b_coeff = rns_ntt_inv(rt, acc[..., 1, :, :])[..., 0]    # [..., L]
+    b_add = (rt.Q >> 3) + 1
+    limbs_row = jnp.asarray(np.asarray(rt.limbs, np.int32))
+    b_out = (b_coeff + jnp.asarray(
+        np.asarray([b_add % ql for ql in rt.limbs], np.int32))) % limbs_row
+    return a_coeff, b_out
+
+
+def eval_bin_gate_rns(
+    rt, params: BinFHEParams, gate: BINGATE, ek: RingGSWBTKey,
+    ct1: lwe.LWECiphertext, ct2: lwe.LWECiphertext,
+) -> lwe.LWECiphertext:
+    """Single-key GINX gate at a >28-bit (dual-limb) modulus.
+
+    Structure: jitted rotation/extraction per limb -> exact host Garner +
+    Q_eff->qKS rounding (the ~72-bit product exceeds s64; see
+    ops/rns.py host_round_switch) -> jitted key switch + final ModSwitch.
+    """
+    from .ops.rns import host_garner_centered, host_round_switch
+
+    lp = params.lwe
+    if gate in (BINGATE.XOR, BINGATE.XNOR):
+        ct_and1 = eval_bin_gate_rns(
+            rt, params, BINGATE.AND, ek, ct1, eval_not(params, ct2))
+        ct_and2 = eval_bin_gate_rns(
+            rt, params, BINGATE.AND, ek, eval_not(params, ct1), ct2)
+        ct_or = eval_bin_gate_rns(
+            rt, params, BINGATE.OR, ek, ct_and1, ct_and2)
+        return ct_or if gate == BINGATE.XOR else eval_not(params, ct_or)
+
+    a_res, b_res = _gate_rotate_extract_rns(
+        rt, params, gate, ek.bs, ct1.a, ct1.b, ct2.a, ct2.b)
+
+    a_c = host_garner_centered(
+        rt.Q, rt.limbs, rt.inv_q1_mod_q2, np.asarray(a_res))
+    b_c = host_garner_centered(
+        rt.Q, rt.limbs, rt.inv_q1_mod_q2, np.asarray(b_res)[..., None])[..., 0]
+    a_ks = host_round_switch(rt.Q, a_c, lp.q_ks)
+    b_ks = host_round_switch(rt.Q, b_c, lp.q_ks)
+
+    ct_ms = lwe.LWECiphertext(
+        jnp.asarray(a_ks, I32), jnp.asarray(b_ks, I32))
+    ct_ks = lwe.key_switch(
+        ct_ms, ek.ks, lp.q_ks, lp.base_ks, lp.digits_ks, lp.n)
+    return lwe.mod_switch(ct_ks, lp.q, lp.q_ks)

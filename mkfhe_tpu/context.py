@@ -46,10 +46,7 @@ class BinFHEContext:
         if isinstance(paramset, str):
             paramset = BINFHE_PARAMSET[paramset]
         self.params = build_params(paramset, method)
-        lp = self.params.lwe
-        self.tables = get_tables(lp.N, lp.Q)
-        if self.params.unienc is not None:
-            self.crs = boot.make_crs(self.sampler, self.params, self.tables)
+        self._init_tables()
         return self
 
     def GenerateBinFHEContextCustom(
@@ -63,11 +60,21 @@ class BinFHEContext:
         from .params import build_params_from
 
         self.params = build_params_from(ctx_params, method, paramset)
+        self._init_tables()
+        return self
+
+    def _init_tables(self):
         lp = self.params.lwe
-        self.tables = get_tables(lp.N, lp.Q)
+        rg = self.params.rgsw
+        if rg is not None and rg.limbs:
+            # >28-bit modulus: per-limb RNS tables (ops/rns.py)
+            from .params import get_rns_tables
+
+            self.tables = get_rns_tables(lp.N, rg.limbs)
+        else:
+            self.tables = get_tables(lp.N, lp.Q)
         if self.params.unienc is not None:
             self.crs = boot.make_crs(self.sampler, self.params, self.tables)
-        return self
 
     # -------------------------------------------------------------- keygen
     def KeyGen(self) -> np.ndarray:
@@ -87,8 +94,12 @@ class BinFHEContext:
         import dataclasses
 
         sk = self.lwe_sk if sk is None else sk
-        self.bt_key = boot.bt_key_gen(
-            self.sampler, self.params, self.tables, sk, keygen_mode)
+        if self.params.rgsw.limbs:
+            self.bt_key = boot.bt_key_gen_rns(
+                self.sampler, self.params, self.tables, sk)
+        else:
+            self.bt_key = boot.bt_key_gen(
+                self.sampler, self.params, self.tables, sk, keygen_mode)
         self.bt_key_map = {self.params.rgsw.base_g: self.bt_key}
         if time_optimization:
             for base in (1 << 14, 1 << 18, 1 << 27):
@@ -199,6 +210,9 @@ class BinFHEContext:
         if self.params.vntru is not None:
             return boot.eval_bin_gate_ntru(
                 self.tables, self.params, gate, self.nbt_key, ct1, ct2)
+        if self.params.rgsw.limbs:
+            return boot.eval_bin_gate_rns(
+                self.tables, self.params, gate, self.bt_key, ct1, ct2)
         return boot.eval_bin_gate(
             self.tables, self.params, gate, self.bt_key, ct1, ct2)
 

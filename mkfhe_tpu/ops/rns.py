@@ -1,0 +1,215 @@
+"""Dual-limb RNS (CRT) ring arithmetic for moduli beyond 28 bits.
+
+The reference's default NATIVE_SIZE=64 build runs six parameter sets with
+numberBits in 29..50 (STD256, STD192, STD192Q, STD192Q_3, STD128Q_4,
+STD192Q_4 — binfhecontext.cpp:91-146) on a single ~2^50 prime Q held in a
+64-bit word. TPU vector lanes are 32-bit, so the TPU-native answer is the
+one the reference itself ships for big moduli in its lattice layer: an RNS
+tower (DCRTPoly, lattice/hal/default/dcrtpoly.h) — here a PAIR of NTT
+friendly <=28-bit primes q1*q2 = Q_eff >= 2^numberBits.
+
+Every per-limb operation (NTT, pointwise mul, monomial multiply,
+automorphism) reuses the existing exact u32/s8-MXU machinery unchanged,
+with a limb axis [..., L, N] directly before the coefficient axis. The
+only genuinely new math:
+
+  * Garner/mixed-radix recombination x = x1 + q1 * ((x2-x1)/q1 mod q2)
+    producing the centered integer value in int64 lanes (|x| < 2^55;
+    XLA emulates s64 on TPU — exact, and only on the decompose path),
+  * exact balanced digit extraction from that value (same digit semantics
+    as ops.decompose against the composite Q_eff),
+  * the Q_eff -> qKS ModSwitch rounding, whose product c*qKS needs ~72
+    bits: computed host-side with exact python-int numpy (the tail is a
+    [B, N] array per gate batch — microseconds next to the rotation).
+
+This is NOT bit-exact with the reference at these sets (the reference
+uses a single prime Q; we use a composite of the same magnitude — the
+scheme is modulus-agnostic, correctness is verified end-to-end by gate
+truth tables and noise margins instead of oracle vectors; see
+tests/test_rns_bigq.py).
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .modmath import I32, I64
+from .ntt import (
+    NTTTables, first_prime, make_ntt_tables, ntt_fwd, ntt_inv,
+    previous_prime,
+)
+
+
+def pick_limbs(number_bits: int, cycl_order: int) -> tuple[int, int]:
+    """Two distinct NTT-friendly primes (== 1 mod cyclOrder) whose product
+    is the smallest comfortable cover of 2^number_bits.
+
+    Split the bit budget roughly in half (both limbs <= 28 bits, the
+    u32-kernel ceiling), and bump until q1*q2 >= 2^number_bits."""
+    if number_bits > 54:
+        raise NotImplementedError(
+            f"number_bits={number_bits} > 54 exceeds the dual-limb design")
+    b1 = min(28, number_bits // 2 + 2)
+    b2 = min(28, number_bits - b1 + 3)
+    q1 = previous_prime(first_prime(b1, cycl_order), cycl_order)
+    q2 = previous_prime(first_prime(b2, cycl_order), cycl_order)
+    if q1 == q2:
+        q2 = previous_prime(q2, cycl_order)
+    while q1 * q2 < (1 << number_bits):
+        q2 = first_prime((q2.bit_length()) + 1, cycl_order)
+        if q1 == q2:
+            q2 = previous_prime(q2, cycl_order)
+    assert q1 != q2
+    return q1, q2
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("tables",),
+    meta_fields=("Q", "limbs", "inv_q1_mod_q2"),
+)
+@dataclass(frozen=True)
+class RNSTables:
+    """Per-limb NTT tables + Garner constants for one composite modulus.
+
+    A pytree (like NTTTables): the per-limb twiddle bundles are data
+    leaves, the moduli stay static python ints across jit boundaries."""
+
+    tables: tuple          # (NTTTables, NTTTables)
+    Q: int                 # q1 * q2
+    limbs: tuple           # (q1, q2)
+    inv_q1_mod_q2: int     # q1^-1 mod q2 (Garner step)
+
+
+def make_rns_tables(N: int, limbs: tuple[int, int]) -> RNSTables:
+    q1, q2 = limbs
+    return RNSTables(
+        tables=tuple(make_ntt_tables(N, q) for q in limbs),
+        Q=q1 * q2,
+        limbs=tuple(limbs),
+        inv_q1_mod_q2=pow(q1, -1, q2),
+    )
+
+
+# ----------------------------------------------------------------- residues
+
+def to_residues(v, limbs) -> np.ndarray:
+    """Host: integer array (any width, python ints allowed) ->
+    [..., L, N] int32 residues."""
+    v = np.asarray(v, dtype=object)
+    out = [np.asarray(v % q, np.int64) for q in limbs]
+    return np.stack(out, axis=-2).astype(np.int32)
+
+
+def scalar_residues(c: int, limbs) -> np.ndarray:
+    """[L] int32 residues of one python int."""
+    return np.asarray([c % q for q in limbs], np.int32)
+
+
+# ------------------------------------------------------- per-limb transforms
+
+def rns_ntt_fwd(rt: RNSTables, a):
+    """a: [..., L, N] COEFF -> EVAL, per limb."""
+    outs = [ntt_fwd(rt.tables[i], a[..., i, :]) for i in range(len(rt.limbs))]
+    return jnp.stack(outs, axis=-2)
+
+
+def rns_ntt_inv(rt: RNSTables, a):
+    outs = [ntt_inv(rt.tables[i], a[..., i, :]) for i in range(len(rt.limbs))]
+    return jnp.stack(outs, axis=-2)
+
+
+def rns_host_ntt_fwd(rt: RNSTables, a: np.ndarray) -> np.ndarray:
+    from .ntt import host_ntt_fwd
+
+    outs = [host_ntt_fwd(rt.tables[i], a[..., i, :])
+            for i in range(len(rt.limbs))]
+    return np.stack(outs, axis=-2)
+
+
+def rns_add(rt: RNSTables, a, b):
+    q = jnp.asarray(np.asarray(rt.limbs, np.int32)[:, None])
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+def rns_sub(rt: RNSTables, a, b):
+    q = jnp.asarray(np.asarray(rt.limbs, np.int32)[:, None])
+    d = a - b
+    return jnp.where(d < 0, d + q, d)
+
+
+# ------------------------------------------------------ Garner recombination
+
+def garner_centered(rt: RNSTables, x):
+    """x: [..., L, N] int32 residues -> int64 centered values in
+    (-Q/2, Q/2]. Exact: q1*q2 < 2^56 fits s64 (emulated on TPU lanes)."""
+    q1, q2 = rt.limbs
+    x1 = x[..., 0, :].astype(I64)
+    x2 = x[..., 1, :].astype(I64)
+    y = ((x2 - x1) * rt.inv_q1_mod_q2) % q2        # s64 exact: < 2^55
+    v = x1 + q1 * y                                # in [0, Q)
+    return jnp.where(v > rt.Q >> 1, v - rt.Q, v)
+
+
+def rns_signed_digits(rt: RNSTables, x, base: int, digits: int):
+    """Approximate balanced decomposition of [..., L, N] residues against
+    the composite Q_eff: centered lift, DROP the first digit, emit `digits`
+    balanced digits as int32 in [-base/2, base/2) (same semantics as
+    ops.decompose.signed_digit_decompose with signed=True)."""
+    half_base = base // 2
+    mask = base - 1
+    gbits = base.bit_length() - 1
+
+    d = garner_centered(rt, x)
+
+    def extract(d):
+        r = ((d + half_base) & mask) - half_base
+        return r, (d - r) >> gbits
+
+    r, d = extract(d)      # dropped low digit
+    outs = []
+    for _ in range(digits):
+        r, d = extract(d)
+        outs.append(r.astype(I32))
+    return jnp.stack(outs, axis=0)     # [digits, ..., N]
+
+
+def rns_digits_to_eval(rt: RNSTables, dig):
+    """Balanced digits [D, ..., N] (small ints) -> EVAL residues
+    [D, ..., L, N]: lift per limb then per-limb NTT."""
+    outs = []
+    for i, q in enumerate(rt.limbs):
+        d = jnp.where(dig < 0, dig + q, dig)
+        outs.append(ntt_fwd(rt.tables[i], d))
+    return jnp.stack(outs, axis=-2)
+
+
+# ------------------------------------------------------------- ModSwitch tail
+
+def host_round_switch(Q: int, v_centered: np.ndarray, q_to: int) -> np.ndarray:
+    """round-half-up((v * q_to) / Q) mod q_to on the host, exact.
+
+    v_centered: int64 centered values (the rounding is shift-invariant mod
+    q_to, so the centered representative gives the same result as the
+    [0, Q) one — floor((v + dQ) * q_to / Q + 1/2) = floor(v*q_to/Q + 1/2)
+    + d*q_to). The product needs up to ~73 bits -> exact python-int numpy
+    (object dtype); the arrays here are ciphertext-sized, not key-sized."""
+    v = np.asarray(v_centered).astype(object)
+    out = ((v * int(q_to) * 2 + int(Q)) // (2 * int(Q))) % int(q_to)
+    return out.astype(np.int64)
+
+
+def host_garner_centered(Q: int, limbs, inv_q1_mod_q2: int,
+                         x: np.ndarray) -> np.ndarray:
+    """Host twin of garner_centered: [..., L, N] residues (any int dtype)
+    -> int64 centered values."""
+    q1, q2 = limbs
+    x1 = np.asarray(x[..., 0, :], np.int64)
+    x2 = np.asarray(x[..., 1, :], np.int64)
+    y = ((x2 - x1) * inv_q1_mod_q2) % q2
+    v = x1 + q1 * y
+    return np.where(v > Q >> 1, v - Q, v)

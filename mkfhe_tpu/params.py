@@ -60,7 +60,11 @@ class LWEParams:
 
 @dataclass(frozen=True)
 class RGSWParams:
-    """RingGSWCryptoParams (rgsw-cryptoparameters.h:312)."""
+    """RingGSWCryptoParams (rgsw-cryptoparameters.h:312).
+
+    limbs: () for native single-prime Q (<= 28 bits, u32 kernels); a pair
+    of NTT-friendly primes with q1*q2 == Q for >28-bit sets (the
+    reference's NATIVE_SIZE=64 territory) — see ops/rns.py."""
 
     N: int
     Q: int
@@ -71,6 +75,7 @@ class RGSWParams:
     std: float
     key_dist: SecretKeyDist
     num_auto_keys: int = 10
+    limbs: tuple = ()
 
     @property
     def digits_g(self) -> int:
@@ -190,17 +195,25 @@ def build_params_from(
     """Build from an explicit ContextParams row (the fully-custom context
     overload, binfhecontext.h:94-118 / binfhecontext.cpp:196-216)."""
     set_ = set_ or BINFHE_PARAMSET.TOY
+    limbs: tuple = ()
     if p.number_bits > 28:
-        # Same ceiling as the reference's recommended NATIVE_SIZE=32 build
-        # (MAX_MODULUS_SIZE=28, basicint.h:56-61): our coefficient lanes
-        # are int32 with all-u32 kernel arithmetic. Sets above 28 bits
-        # (STD192*, STD256, STD128Q_4) need 64-bit lanes — same as needing
-        # a NATIVE_SIZE=64 reference build.
-        raise NotImplementedError(
-            f"{set_}: number_bits={p.number_bits} > 28 exceeds the 32-bit "
-            "coefficient lanes (reference parity: MAX_MODULUS_SIZE=28 at "
-            "NATIVE_SIZE=32)")
-    Q = derive_Q(p.number_bits, p.cycl_order)
+        # Beyond the u32 single-prime ceiling (MAX_MODULUS_SIZE=28 at the
+        # reference's NATIVE_SIZE=32, basicint.h:56-61): run the ring at a
+        # dual-limb RNS modulus q1*q2 >= 2^number_bits (ops/rns.py) — the
+        # TPU-native counterpart of the reference's NATIVE_SIZE=64 build
+        # (and of its own DCRTPoly RNS layer). Supported for the GINX
+        # accumulator, which is what the >28-bit sets (STD256, STD192*,
+        # STD128Q_4) ship with.
+        if method != BINFHE_METHOD.GINX:
+            raise NotImplementedError(
+                f"{set_}: number_bits={p.number_bits} > 28 is supported "
+                "via the dual-limb RNS path for GINX only")
+        from .ops.rns import pick_limbs
+
+        limbs = pick_limbs(p.number_bits, p.cycl_order)
+        Q = limbs[0] * limbs[1]
+    else:
+        Q = derive_Q(p.number_bits, p.cycl_order)
     N = p.cycl_order // 2
     q_ks = Q if p.mod_ks == 0 else p.mod_ks
 
@@ -237,6 +250,7 @@ def build_params_from(
     rgsw = RGSWParams(
         N=N, Q=Q, q=p.mod, base_g=p.base_g, base_r=p.base_rk, method=method,
         std=p.std_dev, key_dist=p.key_dist, num_auto_keys=p.num_auto_keys,
+        limbs=limbs,
     )
     return BinFHEParams(set_, method, lwe=lwe, rgsw=rgsw)
 
@@ -246,6 +260,13 @@ def build_params_from(
 @lru_cache(maxsize=None)
 def get_tables(N: int, Q: int) -> NTTTables:
     return make_ntt_tables(N, Q)
+
+
+@lru_cache(maxsize=None)
+def get_rns_tables(N: int, limbs: tuple):
+    from .ops.rns import make_rns_tables
+
+    return make_rns_tables(N, limbs)
 
 
 def g_power(Q: int, base_g: int, digits_g: int) -> np.ndarray:

@@ -34,14 +34,29 @@ def test_new_rows_match_reference_table():
         assert BINFHE_PARAMSET[name] in PARAM_SETS
 
 
-def test_over_28bit_sets_reject_clearly():
-    """numberBits > 28 exceeds int32 lanes — same ceiling as the
-    reference's recommended NATIVE_SIZE=32 build (MAX_MODULUS_SIZE=28)."""
+def test_over_28bit_sets_resolve_to_rns_limbs():
+    """numberBits > 28 (the reference's NATIVE_SIZE=64 territory) resolves
+    to a dual-limb RNS modulus q1*q2 >= 2^numberBits with both limbs NTT
+    friendly (r4; was a clean rejection through r3). Non-GINX methods at
+    these sets still reject clearly."""
+    from mkfhe_tpu.constants import PARAM_SETS
+    from mkfhe_tpu.params import build_params
+
+    for name in ("STD128Q_4", "STD192Q_3", "STD192", "STD192Q",
+                 "STD192Q_4", "STD256"):
+        p = PARAM_SETS[BINFHE_PARAMSET[name]]
+        params = build_params(BINFHE_PARAMSET[name], BINFHE_METHOD.GINX)
+        q1, q2 = params.rgsw.limbs
+        assert q1 != q2
+        assert q1 * q2 == params.rgsw.Q >= (1 << p.number_bits)
+        m = p.cycl_order
+        assert q1 % m == 1 and q2 % m == 1
+        assert max(q1, q2) < (1 << 28)
+
     cc = BinFHEContext(seed=3)
-    for name in ("STD128Q_4", "STD192Q_3", "STD192"):
-        with pytest.raises(NotImplementedError, match="number_bits"):
-            cc.GenerateBinFHEContext(BINFHE_PARAMSET[name],
-                                     BINFHE_METHOD.GINX)
+    with pytest.raises(NotImplementedError, match="GINX only"):
+        cc.GenerateBinFHEContext(BINFHE_PARAMSET.STD192,
+                                 BINFHE_METHOD.LMKCDEY)
 
 
 @pytest.fixture(scope="module")

@@ -45,16 +45,15 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
                            cc.params.mntru.q).c for _ in range(reps)]
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()
-    # per-rep wall time with a host fetch per rep: block_until_ready on
-    # the final value alone produced a 0.0s reading once over the axon
-    # tunnel (r3 ksweep k=8 artifact); fetching each output to host and
-    # taking the median is robust to both caching and async-dispatch
-    # anomalies.
+    # per-rep wall time, blocking each rep: block_until_ready on the
+    # final value alone produced a 0.0s reading once over the axon tunnel
+    # (r3 ksweep k=8 artifact); per-rep blocking + median + the
+    # timing_suspect flag guard against caching/async anomalies.
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
         out = fn(c1s[r], ct2.c)
-        np.asarray(out)                 # device->host fetch forces completion
+        out.block_until_ready()         # completion without a host fetch
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     timing_suspect = bool(min(times) < 0.5 * dt or dt <= 0.0)

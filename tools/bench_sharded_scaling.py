@@ -63,7 +63,7 @@ def main():
             for r in range(reps):
                 t0 = time.perf_counter()
                 out = fn(cc.ct_nand.c, c1s[r], ct2.c)
-                np.asarray(out)
+                out.block_until_ready()
                 times.append(time.perf_counter() - t0)
             dt = float(np.median(times))
             out_np = np.asarray(out)
