@@ -58,16 +58,16 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
 
     out = fn(ct1.c, ct2.c)
     out.block_until_ready()                      # compile + warmup
-    # per-rep wall time, blocking each rep (median): robust to the
-    # axon-tunnel async/caching artifact class (BASELINE.md measurement
-    # integrity note; a block on only the final value once read 0.0s).
-    # block_until_ready, not a host fetch — a fetch costs a tunnel
-    # roundtrip per rep (~0.2s, measured 249 vs ~300 gates/s)
+    # per-rep wall time with a SCALAR host fetch (median): over the axon
+    # tunnel block_until_ready returns before execution completes (0.0s
+    # readings with distinct inputs, r4 k=4 ksweep) and a full-array fetch
+    # costs ~0.2s of transfer; fetching one element forces completion at
+    # roundtrip cost only
     times = []
     for r in range(reps):
         t0 = time.perf_counter()
         out = fn(c1s[r], ct2.c)
-        out.block_until_ready()         # completion without a host fetch
+        _ = int(out[0, 0, 0])           # scalar fetch (see note below)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
@@ -103,11 +103,13 @@ def bench_ginx(paramset: str, batch: int, reps: int):
     out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
     out.b.block_until_ready()
     # chained reps (see bench_mkntru): cache-proof timing
-    t0 = time.perf_counter()
+    times = []
     for _ in range(reps):
+        t0 = time.perf_counter()
         out = fn(out.a, out.b, ct2.a, ct2.b)
-    out.b.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        _ = int(out.b[0])               # scalar fetch forces completion
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
 
     want = 1 - (m1 & m2)
     for _ in range(reps):
@@ -272,7 +274,7 @@ def bench_sharded(paramset: str, batch: int, reps: int, party: int):
         for r in range(reps):
             t0 = time.perf_counter()
             out = fn(cc.ct_nand.c, c1s[r], ct2.c)
-            out.block_until_ready()
+            _ = int(out[0, 0, 0])       # scalar fetch forces completion
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         out_np = np.asarray(out)

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from . import boot
+from . import boot, security
 from .constants import (
     BINFHE_METHOD,
     BINFHE_PARAMSET,
@@ -63,6 +63,77 @@ class BinFHEContext:
         self._init_tables()
         return self
 
+    def GenerateBinFHEContextExt(
+        self,
+        paramset: BINFHE_PARAMSET | str,
+        arb_func: bool,
+        logQ: int = 11,
+        N: int = 0,
+        method: BINFHE_METHOD = BINFHE_METHOD.GINX,
+        time_optimization: bool = False,
+    ) -> "BinFHEContext":
+        """Large-precision profile for EvalFunc/Floor/Sign/Decomp —
+        GenerateBinFHEContext(set, arbFunc, logQ, N, method, timeOpt)
+        (binfhecontext.h:96-97, binfhecontext.cpp:28-80): ciphertext
+        modulus q = 2^logQ (11..29), intermediate prime of logQprime = 54
+        bits (27 for logQ == 11) over the dual-limb RNS pair, qKS = 2^35
+        (s64-wide keyswitch), baseG stepped by logQ, ring dim from the
+        HE-standard table.
+        """
+        if isinstance(paramset, str):
+            paramset = BINFHE_PARAMSET[paramset]
+        if logQ > 29:
+            raise NotImplementedError("logQ > 29 is not supported")
+        if logQ < 11:
+            raise NotImplementedError("logQ < 11 is not supported")
+        log_qprime = 54
+        if logQ > 25:
+            base_g = 1 << 14
+        elif logQ > 16:
+            base_g = 1 << 18
+        elif logQ > 11:
+            base_g = 1 << 27
+        else:
+            base_g = 1 << 5
+            log_qprime = 27
+        if method != BINFHE_METHOD.GINX:
+            raise NotImplementedError(
+                "large-precision profile supports GINX (reference default)")
+
+        from .constants import SecretKeyDist
+        from .params import (
+            BinFHEParams, LWEParams, RGSWParams, derive_Q)
+
+        ring_dim = security.find_ring_dim("ternary", "128_classic",
+                                          log_qprime)
+        if N >= ring_dim:
+            ring_dim = N
+        limbs: tuple = ()
+        if log_qprime > 28:
+            from .ops.rns import pick_limbs
+
+            limbs = pick_limbs(log_qprime, 2 * ring_dim)
+            Q = limbs[0] * limbs[1]
+        else:
+            Q = derive_Q(log_qprime, 2 * ring_dim)
+        q = ring_dim if arb_func else 2 * ring_dim
+        q_ks = 1 << 35
+        n = 32 if paramset == BINFHE_PARAMSET.TOY else 1305
+
+        lwe_p = LWEParams(
+            n=n, N=ring_dim, q=q, Q=Q, q_ks=q_ks, std=3.19, base_ks=32,
+            key_dist=SecretKeyDist.UNIFORM_TERNARY)
+        rgsw_p = RGSWParams(
+            N=ring_dim, Q=Q, q=q, base_g=base_g, base_r=23, method=method,
+            std=3.19, key_dist=SecretKeyDist.UNIFORM_TERNARY, limbs=limbs)
+        self.params = BinFHEParams(paramset, method, lwe=lwe_p, rgsw=rgsw_p)
+        self._ext_time_opt = bool(time_optimization) and logQ != 11
+        self._ext_logQ = logQ
+        self._ext_arb_func = bool(arb_func)
+        self._ext_N = N
+        self._init_tables()
+        return self
+
     def _init_tables(self):
         lp = self.params.lwe
         rg = self.params.rgsw
@@ -94,22 +165,24 @@ class BinFHEContext:
         import dataclasses
 
         sk = self.lwe_sk if sk is None else sk
-        if self.params.rgsw.limbs:
-            self.bt_key = boot.bt_key_gen_rns(
-                self.sampler, self.params, self.tables, sk)
-        else:
-            self.bt_key = boot.bt_key_gen(
-                self.sampler, self.params, self.tables, sk, keygen_mode)
+
+        def gen(params):
+            if params.rgsw.limbs:
+                return boot.bt_key_gen_rns(
+                    self.sampler, params, self.tables, sk)
+            return boot.bt_key_gen(
+                self.sampler, params, self.tables, sk, keygen_mode)
+
+        self.bt_key = gen(self.params)
         self.bt_key_map = {self.params.rgsw.base_g: self.bt_key}
-        if time_optimization:
+        if time_optimization or getattr(self, "_ext_time_opt", False):
             for base in (1 << 14, 1 << 18, 1 << 27):
                 if base in self.bt_key_map:
                     continue
                 p2 = dataclasses.replace(
                     self.params,
                     rgsw=dataclasses.replace(self.params.rgsw, base_g=base))
-                self.bt_key_map[base] = boot.bt_key_gen(
-                    self.sampler, p2, self.tables, sk, keygen_mode)
+                self.bt_key_map[base] = gen(p2)
         return self.bt_key
 
     def NBTKeyGen(self, sk: np.ndarray | None = None) -> "boot.VectorNTRUBTKey":

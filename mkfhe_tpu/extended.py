@@ -48,11 +48,73 @@ def bootstrap_func(tables, params, ek, ct, f, fmod: int, ct_mod: int):
     """BootstrapFunc (binfhe-base-scheme.cpp:1252-1312). f: python callable
     (x, ct_mod, fmod) -> int, tabulated host-side into a (Q/fmod)*f table."""
     Q = params.lwe.Q
-    lut = np.array(
-        [Q // fmod * (f(x, ct_mod, fmod) % fmod) % Q for x in range(ct_mod)],
-        dtype=np.int64)
-    return _bootstrap_func_mod(tables, params, ek, ct, jnp.asarray(lut, I32),
-                               ct_mod, fmod)
+    lut = [Q // fmod * (f(x, ct_mod, fmod) % fmod) % Q for x in range(ct_mod)]
+    if params.rgsw.limbs:
+        return _bootstrap_func_rns(tables, params, ek, ct, lut, ct_mod, fmod)
+    return _bootstrap_func_mod(
+        tables, params, ek, ct,
+        jnp.asarray(np.asarray(lut, np.int64), I32), ct_mod, fmod)
+
+
+def _bootstrap_func_rns(rt, params, ek, ct, lut, ct_mod: int, out_mod: int):
+    """Functional bootstrap over the dual-limb RNS ring (>28-bit Q /
+    logQprime=54 profile). Same structure as the RNS gate: jitted per-limb
+    rotation + extraction, exact host Garner + Q_eff->qKS rounding, then
+    the (possibly s64-wide) keyswitch tail."""
+    from .ops.rns import (
+        host_garner_centered, host_round_switch)
+
+    lp = params.lwe
+    lut_res = np.stack(
+        [np.asarray([v % ql for v in lut], np.int64) for ql in rt.limbs],
+        axis=-1)                                          # [ct_mod, L]
+    a_res, b_res = _bootstrap_func_rotate_rns(
+        rt, params, ek.bs, ct.a, ct.b, jnp.asarray(lut_res, I32), ct_mod)
+
+    a_c = host_garner_centered(
+        rt.Q, rt.limbs, rt.inv_q1_mod_q2, np.asarray(a_res))
+    b_c = host_garner_centered(
+        rt.Q, rt.limbs, rt.inv_q1_mod_q2,
+        np.asarray(b_res)[..., None])[..., 0]
+    a_ks = host_round_switch(rt.Q, a_c, lp.q_ks)
+    b_ks = host_round_switch(rt.Q, b_c, lp.q_ks)
+
+    dtype = I32 if lp.q_ks < (1 << 31) else I64
+    ct_ms = lwe.LWECiphertext(
+        jnp.asarray(a_ks, dtype), jnp.asarray(b_ks, dtype))
+    ct_ks = lwe.key_switch(
+        ct_ms, ek.ks, lp.q_ks, lp.base_ks, lp.digits_ks, lp.n)
+    return lwe.mod_switch(ct_ks, out_mod, lp.q_ks)
+
+
+@partial(jax.jit, static_argnames=("params", "ct_mod"))
+def _bootstrap_func_rotate_rns(rt, params, bs_key, a, b, lut_res, ct_mod):
+    from .acc import cggi
+    from .ops.poly import transpose_eval as _transpose
+    from .ops.rns import rns_ntt_fwd, rns_ntt_inv
+
+    lp = params.lwe
+    N = lp.N
+    L = len(rt.limbs)
+    factor = 2 * N // ct_mod
+
+    j = jnp.arange(ct_mod >> 1, dtype=I64)
+    temp = ((b[..., None].astype(I64) - j) % ct_mod).astype(jnp.int32)
+    vals = lut_res[temp]                                  # [..., m/2, L]
+    m = jnp.zeros(b.shape + (L, N), I32)
+    pos = np.arange(ct_mod >> 1) * factor
+    m = m.at[..., pos].set(jnp.moveaxis(vals, -1, -2).astype(I32))
+
+    m_eval = rns_ntt_fwd(rt, m)
+    acc = jnp.stack([jnp.zeros_like(m_eval), m_eval], axis=-3)
+    acc = cggi.eval_acc_rns(rt, params.rgsw, bs_key, acc, a, ct_mod)
+
+    a_t = jnp.stack(
+        [_transpose(rt.tables[i], acc[..., 0, i, :]) for i in range(L)],
+        axis=-2)
+    a_coeff = rns_ntt_inv(rt, a_t)
+    b_coeff = rns_ntt_inv(rt, acc[..., 1, :, :])[..., 0]
+    return a_coeff, b_coeff
 
 
 @partial(jax.jit, static_argnames=("params", "ct_mod", "out_mod"))

@@ -72,6 +72,16 @@ def get_batch_tile() -> int:
     return _BT_MAX
 
 
+_CGGI_INTERLEAVE = False   # r4 MXU/VPU-overlap experiment (see _cggi_kernel)
+
+
+def set_cggi_interleave(on: bool) -> None:
+    global _CGGI_INTERLEAVE
+    if on != _CGGI_INTERLEAVE:
+        jax.clear_caches()
+    _CGGI_INTERLEAVE = on
+
+
 class batch_tile:
     """Context manager that overrides the batch tile and restores the
     prior value (and compilation caches) on exit — for tests that
@@ -301,12 +311,6 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
             rows.append(digs1[d])
         dsh = jnp.concatenate(rows, axis=0)              # [dg2*BT, N]
 
-        # LAZY digit NTT: values < (2D+1)*Q, congruent mod Q — fine as
-        # the arbitrary-u32 x of the Shoup contraction below
-        dct = _digits_transform_s8(
-            dsh, wfwd_ref, shift_ref[...].astype(U32), Q, base_g,
-            lazy=True).reshape(dg2, BT, N)
-
         # tmp[t, c] = sum_d2 dct[d2] * ek[t, d2, c], kept lazy < 2*dg2*Q;
         # u_t = tmp * (X^c - 1) = shoup(shoup(tmp, hi), lo) - tmp, so the
         # monomial multiply costs 2 lazy Shoups instead of a 29-op Barrett
@@ -314,14 +318,47 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
         lazy_bound = 2 * dg2 * Q
         full_lazy = (acc_bound := Q + 4 * Q + 2 * lazy_bound) < (1 << 32)
 
-        def contract(t, c):
-            s = None
+        if _CGGI_INTERLEAVE:
+            # r4 MXU/VPU-overlap experiment (PLAN 'Perf frontier' #1):
+            # transform ONE digit row at a time and issue its 4 Shoup
+            # contraction terms immediately, so row d2's VPU work is
+            # independent of row d2+1's MXU matmuls and Mosaic's
+            # scheduler CAN overlap them (the batched form serializes:
+            # all-MXU transform -> all-VPU contraction). Identical math,
+            # identical bounds — bit-equal by test_fused.
+            shift_u32 = shift_ref[...].astype(U32)
+            sums = {}
             for d2 in range(dg2):
-                term = shoup_mul_lazy_u32(
-                    dct[d2], ek[t, d2, c][None].astype(U32),
-                    eksh[t, d2, c][None], Q)
-                s = term if s is None else s + term      # < 2*dg2*Q
-            return s if full_lazy else barrett_reduce_u32(s, Q)
+                row = dsh[d2 * BT:(d2 + 1) * BT]
+                dct_d = _digits_transform_s8(
+                    row, wfwd_ref, shift_u32, Q, base_g, lazy=True)
+                for t in range(2):
+                    for c in range(2):
+                        term = shoup_mul_lazy_u32(
+                            dct_d, ek[t, d2, c][None].astype(U32),
+                            eksh[t, d2, c][None], Q)
+                        sums[(t, c)] = (
+                            term if (t, c) not in sums
+                            else sums[(t, c)] + term)    # < 2*dg2*Q
+
+            def contract(t, c):
+                s = sums[(t, c)]
+                return s if full_lazy else barrett_reduce_u32(s, Q)
+        else:
+            # LAZY digit NTT: values < (2D+1)*Q, congruent mod Q — fine
+            # as the arbitrary-u32 x of the Shoup contraction below
+            dct = _digits_transform_s8(
+                dsh, wfwd_ref, shift_ref[...].astype(U32), Q, base_g,
+                lazy=True).reshape(dg2, BT, N)
+
+            def contract(t, c):
+                s = None
+                for d2 in range(dg2):
+                    term = shoup_mul_lazy_u32(
+                        dct[d2], ek[t, d2, c][None].astype(U32),
+                        eksh[t, d2, c][None], Q)
+                    s = term if s is None else s + term  # < 2*dg2*Q
+                return s if full_lazy else barrett_reduce_u32(s, Q)
 
         sub = lazy_bound if full_lazy else Q             # -tmp offset
         new = []

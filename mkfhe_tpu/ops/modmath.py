@@ -58,10 +58,19 @@ def from_signed(a, q: int):
 def round_q_Q(v, q: int, Q: int):
     """RoundqQ(v) = floor(0.5 + v*q/Q) mod q  (lwe-pke.cpp:42-47).
 
-    The reference computes this in double precision; exact for Q < 2**28
-    since v*q fits 2**56 and we emulate round-half-up in integers:
-    floor(0.5 + vq/Q) = floor((2vq + Q) / (2Q)).
+    The reference computes this in double precision; exact here in
+    integers: floor(0.5 + vq/Q) = floor((2vq + Q) / (2Q)), valid while
+    2*v*q fits s64. Beyond that (the qKS=2^35 large-precision profile,
+    binfhecontext.cpp:66) both moduli are powers of two and the rounding
+    collapses to an exact shift.
     """
+    if Q.bit_length() + q.bit_length() > 61:
+        if (Q & (Q - 1)) == 0 and (q & (q - 1)) == 0 and Q > q:
+            sh = Q.bit_length() - q.bit_length()
+            r = (v.astype(I64) + (1 << (sh - 1))) >> sh
+            return (r % q).astype(I32)
+        raise NotImplementedError(
+            f"RoundqQ overflow: Q={Q}, q={q} need a wide path")
     t = v.astype(I64) * q
     r = (2 * t + Q) // (2 * Q)
     return (r % q).astype(I32)

@@ -63,3 +63,89 @@ def sharded_ntt_fn(mesh: Mesh, tables: nttm.NTTTables, inverse: bool = False):
         return (acc % Q).astype(I32)
 
     return fn
+
+
+def butterfly_sharded_ntt_fn(mesh: Mesh, tables: nttm.NTTTables):
+    """Butterfly-stage ppermute pipeline (SURVEY §2.5 item 2) — the
+    lower-communication alternative to the matmul form for N >= 16k.
+
+    Forward negacyclic CT transform with the N axis contiguously sharded
+    over mesh axis 'ring' (D devices, chunk C = N/D):
+
+      * stages with pair distance t >= C exchange WHOLE chunks with the
+        XOR-partner device (log2 D ppermutes; at stage distance t the
+        partner is d ^ (t/C)) and apply one scalar twiddle per device,
+      * stages with 2t <= C are fully local (block-parallel butterflies
+        with the device's twiddle slice).
+
+    Communication: log2(D) * B*C words/device vs the matmul form's
+    all-gather of B*N*(D-1)/D words/device — 3/8 vs 7/8 of B*N at D=8 —
+    but the compute rides the VPU, not the MXU. Measured crossover notes
+    live in tests/test_sharding.py::test_butterfly_sharded_ntt; below
+    N=16k the matmul form wins on TPU because the MXU does the transform
+    nearly for free next to the collective.
+
+    Output is bit-reversed EVAL, identical to ops.ntt.ntt_fwd, sharded
+    [B, N/ring]. Reference anchor: transformnat-impl.h:197-238 (the same
+    (m, t) stage structure, distributed).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    N, Q = tables.N, tables.Q
+    axes = mesh.axis_names
+    ring = "ring" if "ring" in axes else axes[-1]
+    D = mesh.shape[ring]
+    C = N // D
+    assert C * D == N and (D & (D - 1)) == 0, "ring size must divide N, pow2"
+    psi = tables.psi_brv                 # [N] replicated twiddles
+
+    def local_fn(psi_rep, x):            # x: [B, C] this device's chunk
+        d = jax.lax.axis_index(ring)
+        m, t = 1, N // 2
+        # -------- cross-device stages: t >= C, partner = d ^ (t // C)
+        while t >= C:
+            step = t // C
+            perm = [(j, j ^ step) for j in range(D)]
+            other = jax.lax.ppermute(x, ring, perm)
+            is_u = ((d // step) % 2) == 0
+            w = psi_rep[m + d // (2 * step)]         # scalar twiddle
+            u = jnp.where(is_u, x, other)
+            v = jnp.where(is_u, other, x)
+            wv = ((v.astype(I64) * w) % Q).astype(I32)
+            s = u + wv
+            s = jnp.where(s >= Q, s - Q, s)
+            dff = u - wv
+            dff = jnp.where(dff < 0, dff + Q, dff)
+            x = jnp.where(is_u, s, dff)
+            m *= 2
+            t //= 2
+        # -------- local stages: 2t <= C
+        B = x.shape[0]
+        while m < N:
+            nb = C // (2 * t)
+            w = jax.lax.dynamic_slice(psi_rep, (m + d * nb,), (nb,))
+            xb = x.reshape(B, nb, 2, t)
+            u = xb[:, :, 0, :]
+            v = ((xb[:, :, 1, :].astype(I64)
+                  * w[None, :, None]) % Q).astype(I32)
+            s = u + v
+            s = jnp.where(s >= Q, s - Q, s)
+            dff = u - v
+            dff = jnp.where(dff < 0, dff + Q, dff)
+            x = jnp.stack([s, dff], axis=2).reshape(B, C)
+            m *= 2
+            t //= 2
+        return x
+
+    in_specs = (P(), P(None, ring))
+    fn = shard_map(local_fn, mesh=mesh, in_specs=in_specs,
+                   out_specs=P(None, ring))
+
+    @jax.jit
+    def run(x):
+        return fn(psi, x)
+
+    return run

@@ -229,8 +229,20 @@ def key_switch_gen(
     E = sampler.discrete_gaussian(params.std, (N, bks, d), q=qks)
     j = np.arange(bks, dtype=np.int64)
     scale = (j[:, None] * digits[None, :]) % qks          # [Bks, d]
-    B = (E + svN[:, None, None] * scale[None] + A @ sv) % qks
-    return LWESwitchingKey(jnp.asarray(A, I32), jnp.asarray(B, I32))
+    # compute on CENTERED representatives so every s64 product stays exact
+    # up to qKS = 2^35 (the large-precision profile, binfhecontext.cpp:66):
+    # |A_c| <= qKS/2, |sv_c|/|svN_c| small (ternary/Gaussian secrets) —
+    # identical result mod qKS for the classic <= 2^28 sets.
+    def center(x, q):
+        return np.where(x > q // 2, x - q, x)
+
+    A_c = center(A, qks)
+    sv_c = center(sv, qks)
+    svN_c = center(svN, qks)
+    E_c = center(E, qks)
+    B = (E_c + svN_c[:, None, None] * scale[None] + A_c @ sv_c) % qks
+    dtype = I32 if qks < (1 << 31) else I64
+    return LWESwitchingKey(jnp.asarray(A, dtype), jnp.asarray(B, dtype))
 
 
 @partial(jax.jit, static_argnames=("q_ks", "base_ks", "digits_ks", "n"))
@@ -277,7 +289,9 @@ def key_switch(
         S = part if S is None else S + part
     a_out = (-S[:, :n]) % q_ks
     b_out = (b_in.astype(I64) - S[:, n]) % q_ks
+    # wide moduli (qKS = 2^35 large-precision profile) stay in s64 lanes
+    out_dtype = I32 if q_ks < (1 << 31) else I64
     return LWECiphertext(
-        a_out.astype(I32).reshape(*lead, n),
-        b_out.astype(I32).reshape(*lead),
+        a_out.astype(out_dtype).reshape(*lead, n),
+        b_out.astype(out_dtype).reshape(*lead),
     )

@@ -124,6 +124,12 @@ def save_context(path: str, cc) -> None:
         "paramset": cc.params.paramset.value,
         "method": cc.params.method.name,
     }
+    if getattr(cc, "_ext_logQ", None) is not None:
+        # large-precision profile context (GenerateBinFHEContextExt)
+        meta["ext"] = {"logQ": cc._ext_logQ,
+                       "arb_func": cc._ext_arb_func,
+                       "N": cc._ext_N,
+                       "time_opt": cc._ext_time_opt}
     if cc.crs is not None:
         blobs["crs"] = np.asarray(cc.crs)
     for name in ("bt_key", "mk_bt_key", "nbt_key", "ct_nand"):
@@ -161,8 +167,14 @@ def load_context(path: str):
     specs = json.loads(str(arrays["__spec__"]))
 
     cc = BinFHEContext()
-    cc.GenerateBinFHEContext(
-        BINFHE_PARAMSET(meta["paramset"]), BINFHE_METHOD[meta["method"]])
+    if "ext" in meta:
+        e = meta["ext"]
+        cc.GenerateBinFHEContextExt(
+            BINFHE_PARAMSET(meta["paramset"]), e["arb_func"], e["logQ"],
+            e["N"], BINFHE_METHOD[meta["method"]], e["time_opt"])
+    else:
+        cc.GenerateBinFHEContext(
+            BINFHE_PARAMSET(meta["paramset"]), BINFHE_METHOD[meta["method"]])
     for key, spec in specs.items():
         val = _unflatten(spec, key, arrays, device=(spec["kind"] != "array"))
         if key == "crs":

@@ -138,3 +138,56 @@ def test_eval_decomp_all_digits_exact(ctx):
             want = (m >> (lg * j)) % pj
             np.testing.assert_array_equal(
                 got, want, err_msg=f"mod={mod} digit {j}")
+
+
+# ----------------------- large-precision profile (logQprime=54, qKS=2^35)
+
+@pytest.fixture(scope="module")
+def ctx_ext():
+    """GenerateBinFHEContext(set, arbFunc, logQ, ...) — the reference's
+    large-precision constructor (binfhecontext.cpp:28-80): 54-bit
+    intermediate modulus (dual-limb RNS) and a 2^35 key-switch modulus
+    (s64-wide tail). TOY keeps n=32 so the chain stays CPU-fast."""
+    cc = BinFHEContext(seed=21)
+    cc.GenerateBinFHEContextExt(BINFHE_PARAMSET.TOY, arb_func=False,
+                                logQ=17)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    return cc, sk
+
+
+def test_ext_profile_params(ctx_ext):
+    cc, sk = ctx_ext
+    lp, rg = cc.params.lwe, cc.params.rgsw
+    assert lp.q_ks == 1 << 35
+    assert rg.limbs and rg.Q >= (1 << 54)
+    assert lp.N == 2048 and lp.q == 2 * lp.N
+    assert rg.base_g == 1 << 18      # logQ in (16, 25]
+
+
+def test_ext_profile_eval_sign(ctx_ext):
+    """MSB extraction through the 54-bit accumulator + 2^35 keyswitch."""
+    cc, sk = ctx_ext
+    mod = 1 << 17
+    P = mod // 512
+    half = P // 2
+    m = np.array([half - 2, half - 1, half, half + 1, half + 2]) % P
+    ct = cc.Encrypt(sk, m, p=P, mod=mod)
+    ct_out = cc.EvalSign(ct, mod)
+    res = cc.Decrypt(sk, ct_out, p=2)
+    want = (m >= half).astype(np.int64)
+    np.testing.assert_array_equal(res, want)
+
+
+def test_ext_profile_eval_decomp_first_digit(ctx_ext):
+    cc, sk = ctx_ext
+    q = cc.params.lwe.q
+    beta = cc.GetBeta()
+    mod = 1 << 17
+    P = mod // (2 * beta)
+    p4 = cc.GetMaxPlaintextSpace()
+    m = np.array([5, 13, 7, 2])
+    ct = cc.Encrypt(sk, m, p=P, mod=mod)
+    digits = cc.EvalDecomp(ct, mod)
+    got0 = decrypt_at(cc, sk, digits[0], q, p4)
+    np.testing.assert_array_equal(got0, m % p4)

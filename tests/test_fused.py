@@ -169,3 +169,21 @@ def test_xzw_fused_bit_exact_dg3():
     fused.set_mode("on")
     got = np.asarray(xzw.eval_acc(tables, params, key, acc, c_all, False))
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cggi_fused_interleave_variant_bit_equal():
+    """The MXU/VPU-overlap variant (per-digit-row transform + streamed
+    contraction terms) is bit-equal to the batched form."""
+    from mkfhe_tpu.acc import cggi
+
+    tables, params, key_arr, acc, a = _mk_cggi_case(B=5)
+    key = cggi.CGGIKey(key_arr)
+
+    fused.set_mode("on")
+    ref = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+    fused.set_cggi_interleave(True)
+    try:
+        got = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+    finally:
+        fused.set_cggi_interleave(False)
+    np.testing.assert_array_equal(got, ref)

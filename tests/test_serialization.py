@@ -59,3 +59,30 @@ def test_bt_key_roundtrip(tmp_path):
     ct2 = cc.Encrypt(sk, np.array([1]))
     out = cc.EvalBinGate(BINGATE.AND, ct1, ct2)
     np.testing.assert_array_equal(cc.Decrypt(sk, out), [1])
+
+
+def test_ext_profile_context_roundtrip(tmp_path):
+    """Large-precision profile contexts (GenerateBinFHEContextExt)
+    round-trip through save_context/load_context (r4)."""
+    import numpy as np
+    from mkfhe_tpu import BinFHEContext, serial
+    from mkfhe_tpu.constants import BINFHE_PARAMSET
+
+    cc = BinFHEContext(seed=33)
+    cc.GenerateBinFHEContextExt(BINFHE_PARAMSET.TOY, arb_func=False,
+                                logQ=17)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    p = str(tmp_path / "ctx_ext.npz")
+    serial.save_context(p, cc)
+    cc2 = serial.load_context(p)
+    assert cc2.params == cc.params
+    assert cc2.params.lwe.q_ks == 1 << 35
+    # restored keys drive EvalSign end to end
+    mod = 1 << 17
+    P = mod // 512
+    m = np.array([1, P // 2 + 1])
+    ct = cc.Encrypt(sk, m, p=P, mod=mod)
+    out = cc2.EvalSign(ct, mod)
+    res = cc2.Decrypt(sk, out, p=2)
+    np.testing.assert_array_equal(res, (m >= P // 2).astype(np.int64))

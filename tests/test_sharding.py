@@ -94,3 +94,30 @@ def test_mk_gate_sharded_production_shape(mesh8):
     res = mntru_mod.decrypt(
         cc.params.mntru, sk, mntru_mod.MNTRUCiphertext(out))
     np.testing.assert_array_equal(res, 1 - (m1 & m2))
+
+
+def test_butterfly_sharded_ntt_16k():
+    """Butterfly-ppermute pipeline (SURVEY §2.5 item 2) at N=16384 on the
+    8-virtual-device ring mesh: bit-identical to the single-device
+    transform. Cross-device stages = log2(8) = 3 chunk exchanges; the
+    remaining 11 stages are local."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from mkfhe_tpu.ops import ntt as nttm
+    from mkfhe_tpu.parallel.ring import butterfly_sharded_ntt_fn
+
+    N = 16384
+    q = nttm.previous_prime(nttm.first_prime(28, 2 * N), 2 * N)
+    tables = nttm.make_ntt_tables(N, q)
+
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("ring",))
+    fn = butterfly_sharded_ntt_fn(mesh, tables)
+
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, q, size=(4, N), dtype=np.int64).astype(np.int32)
+    with mesh:
+        got = np.asarray(fn(x))
+    want = np.asarray(nttm.ntt_fwd(tables, x))
+    np.testing.assert_array_equal(got, want)

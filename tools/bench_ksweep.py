@@ -53,7 +53,7 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
     for r in range(reps):
         t0 = time.perf_counter()
         out = fn(c1s[r], ct2.c)
-        out.block_until_ready()         # completion without a host fetch
+        _ = int(out[0, 0, 0])           # scalar fetch forces completion
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     timing_suspect = bool(min(times) < 0.5 * dt or dt <= 0.0)
