@@ -72,7 +72,13 @@ def get_batch_tile() -> int:
     return _BT_MAX
 
 
-_CGGI_INTERLEAVE = False   # r4 MXU/VPU-overlap experiment (see _cggi_kernel)
+# r4 MXU/VPU-overlap experiment (see _cggi_kernel): per-digit-row
+# transform with streamed contraction terms. Measured on v5e (batch 512,
+# tools/overlap_probe.json): 2669 vs 2632 gates/s — Mosaic does NOT
+# overlap the exposed MXU/VPU independence (the ~1.4% is schedule noise
+# at best), confirming r3's finding from the other direction; kept as
+# default since it is bit-equal and never slower.
+_CGGI_INTERLEAVE = True
 
 
 def set_cggi_interleave(on: bool) -> None:

@@ -38,7 +38,7 @@ def measure(cc, sk, batch, reps):
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
     want = 1 - (m1 & m2)
-    for _ in range(reps + 1):
+    for _ in range(reps):
         want = 1 - (want & m2)
     res = np.asarray(cc.Decrypt(sk, out))
     return dt, bool(np.array_equal(res, want)), times
