@@ -292,3 +292,205 @@ def eval_acc(
 
     acc, _ = jax.lax.scan(step, acc, (auto_amt, kind_t, j_t))
     return acc.reshape(*lead, 2, N)
+
+
+# ===================================================== dual-limb RNS (big Q)
+
+def key_gen_acc_rns(
+    sampler: Sampler,
+    params: RGSWParams,
+    rt,                       # ops.rns.RNSTables
+    skN: np.ndarray,          # [N] in [0, Q_eff)
+    lwe_sk: np.ndarray,
+    sk_mod: int,
+) -> LMKCDEYKey:
+    """KeyGenAcc over the dual-limb RNS pair: evk [n, dG2, 2, L, N],
+    auto [w+1, dG, 2, L, N]; the dlog/pow5 tables are modulus-free."""
+    from ..ops.rns import rns_host_ntt_fwd, to_residues
+
+    n = lwe_sk.shape[0]
+    N, Q, q = params.N, rt.Q, params.q
+    L = len(rt.limbs)
+    M = 2 * N
+    Nh = N // 2
+    w = params.num_auto_keys
+    dg = params.digits_g - 1
+    dg2 = 2 * dg
+
+    gpow = [pow(params.base_g, i, Q) for i in range(params.digits_g)]
+
+    s = np.asarray(lwe_sk, np.int64)
+    s_signed = np.where(s > sk_mod // 2, s - sk_mod, s)
+    mm = (((s_signed % q) + q) % q) * (M // q)
+    neg = mm >= N
+    mm = np.where(neg, mm - N, mm)
+
+    A = np.stack([sampler.uniform(ql, (n, dg2, N)) for ql in rt.limbs],
+                 axis=-2)                                    # [n, dg2, L, N]
+    E_int = sampler.discrete_gaussian(params.std, (n, dg2, N))
+    E = np.stack([np.asarray(E_int, np.int64) % ql for ql in rt.limbs],
+                 axis=-2)
+    sign = np.where(neg, -1, 1)
+    d_idx = np.arange(dg2)
+    evn = (d_idx & 1) == 0
+    rows = np.arange(n)
+    A_msg = A.copy()
+    for li, ql in enumerate(rt.limbs):
+        gl = np.asarray([gpow[(d >> 1) + 1] % ql for d in d_idx], np.int64)
+        add = (sign[:, None] * gl[None, :]) % ql
+        A_msg[rows[:, None], d_idx[None, evn], li, mm[:, None]] = (
+            A[rows[:, None], d_idx[None, evn], li, mm[:, None]]
+            + add[:, evn]) % ql
+        E[rows[:, None], d_idx[None, ~evn], li, mm[:, None]] = (
+            E[rows[:, None], d_idx[None, ~evn], li, mm[:, None]]
+            + add[:, ~evn]) % ql
+
+    A_eval = rns_host_ntt_fwd(rt, A)
+    A_msg_eval = rns_host_ntt_fwd(rt, A_msg)
+    E_eval = rns_host_ntt_fwd(rt, E)
+    sk_eval = rns_host_ntt_fwd(rt, to_residues(skN, rt.limbs)).astype(
+        np.int64)                                            # [L, N]
+    B_eval = np.empty_like(A_eval, dtype=np.int64)
+    for li, ql in enumerate(rt.limbs):
+        B_eval[..., li, :] = (
+            E_eval[..., li, :].astype(np.int64)
+            + A_eval[..., li, :].astype(np.int64) * sk_eval[li]) % ql
+    evk = np.stack([A_msg_eval.astype(np.int64), B_eval], axis=2)
+
+    # automorphism keys per limb
+    ts = np.empty(w + 1, dtype=np.int64)
+    ts[0] = M - 5
+    for i in range(1, w + 1):
+        ts[i] = pow(5, i, M)
+    from ..ops.poly import automorphism_eval as _auto
+
+    sk_auto = np.stack([
+        np.asarray(_auto(
+            rt.tables[li],
+            jnp.asarray(sk_eval[li], I32)[None].repeat(w + 1, 0),
+            jnp.asarray(ts)), np.int64)
+        for li in range(L)], axis=-2)                        # [w+1, L, N]
+    Aa = np.stack([sampler.uniform(ql, (w + 1, dg, N)) for ql in rt.limbs],
+                  axis=-2)
+    Ea_int = sampler.discrete_gaussian(params.std, (w + 1, dg, N))
+    Ea = np.stack([np.asarray(Ea_int, np.int64) % ql for ql in rt.limbs],
+                  axis=-2)
+    Aa = rns_host_ntt_fwd(rt, Aa)
+    Ea = rns_host_ntt_fwd(rt, Ea)
+    Ba = np.empty_like(Aa, dtype=np.int64)
+    for li, ql in enumerate(rt.limbs):
+        gl = np.asarray([g % ql for g in gpow[1:dg + 1]], np.int64)
+        Ba[..., li, :] = (
+            Ea[..., li, :].astype(np.int64)
+            - sk_auto[:, None, li, :] * gl[None, :, None]
+            + Aa[..., li, :].astype(np.int64) * sk_eval[li]) % ql
+    ak = np.stack([Aa.astype(np.int64), Ba], axis=2)         # [w+1,dG,2,L,N]
+
+    log_gen = np.zeros(M, dtype=np.int64)
+    log_gen[M - 1] = Nh
+    gp = 1
+    for i in range(1, Nh):
+        gp = gp * 5 % M
+        log_gen[gp] = i
+        log_gen[M - gp] = -i
+
+    return LMKCDEYKey(
+        evk=jnp.asarray(evk, I32),
+        auto=jnp.asarray(ak, I32),
+        pow5=jnp.asarray(ts, I32),
+        log_gen=jnp.asarray(log_gen, I32),
+        evk_sh=jnp.zeros((1,), jnp.uint32),   # unused on the RNS path
+        auto_sh=jnp.zeros((1,), jnp.uint32),
+    )
+
+
+def _rns_digits_pair(rt, params, ct):
+    """[B, 2, L, N] COEFF residues -> interleaved digit EVAL residues
+    [B, dg2, L, N]."""
+    from ..ops.rns import rns_digits_to_eval, rns_signed_digits
+
+    dg = params.digits_g - 1
+    d0 = rns_signed_digits(rt, ct[:, 0], params.base_g, dg)
+    d1 = rns_signed_digits(rt, ct[:, 1], params.base_g, dg)
+    digp = jnp.stack([d0, d1], axis=1).reshape((2 * dg,) + d0.shape[1:])
+    dct = rns_digits_to_eval(rt, digp)
+    return jnp.moveaxis(dct, 0, 1)
+
+
+def _ext_prod_rlwe_rns(rt, params, ek, acc):
+    """ek: [B, dg2, 2, L, N]; acc: [B, 2, L, N] EVAL -> replaces acc."""
+    from ..ops.rns import rns_ntt_inv
+
+    limbs_col = jnp.asarray(
+        np.asarray(rt.limbs, np.int64)[None, None, :, None])
+    ct = rns_ntt_inv(rt, acc)
+    dct = _rns_digits_pair(rt, params, ct)                  # [B, dg2, L, N]
+    prod = (dct[:, :, None].astype(I64) * ek.astype(I64)).sum(axis=1)
+    return (prod % limbs_col).astype(I32)
+
+
+def _keyed_auto_rns(rt, params, t_val, ak, acc):
+    """t_val: [B]; ak: [B, dG, 2, L, N]; acc: [B, 2, L, N]."""
+    from ..ops.rns import (
+        rns_digits_to_eval, rns_ntt_inv, rns_signed_digits)
+
+    L = len(rt.limbs)
+    dg = params.digits_g - 1
+    limbs_col = jnp.asarray(
+        np.asarray(rt.limbs, np.int64)[None, None, :, None])
+    limbs_row = jnp.asarray(np.asarray(rt.limbs, np.int32)[:, None])
+
+    acc1 = jnp.stack(
+        [automorphism_eval(rt.tables[li], acc[:, 1, li, :], t_val)
+         for li in range(L)], axis=-2)                       # [B, L, N]
+    acc0 = jnp.stack(
+        [automorphism_eval(rt.tables[li], acc[:, 0, li, :], t_val)
+         for li in range(L)], axis=-2)
+    cta = rns_ntt_inv(rt, acc0)                              # [B, L, N]
+    dct = rns_signed_digits(rt, cta, params.base_g, dg)      # [dG, B, N]
+    dct = rns_digits_to_eval(rt, dct)                        # [dG, B, L, N]
+    dct = jnp.moveaxis(dct, 0, 1)                            # [B, dG, L, N]
+    prod = (dct[:, :, None].astype(I64) * ak.astype(I64)).sum(axis=1)
+    out = (prod % limbs_col).astype(I32)                     # [B, 2, L, N]
+    s = out[:, 1] + acc1
+    s = jnp.where(s >= limbs_row, s - limbs_row, s)
+    return out.at[:, 1].set(s)
+
+
+def eval_acc_rns(rt, params: RGSWParams, key: LMKCDEYKey, acc, a):
+    """LMKCDEY accumulation over the RNS pair; same op tape as eval_acc.
+    acc: [..., 2, L, N] EVAL; a: [..., n] mod q (q == N)."""
+    N = params.N
+    L = len(rt.limbs)
+    M = 2 * N
+    w = params.num_auto_keys
+
+    lead = a.shape[:-1]
+    n = a.shape[-1]
+    acc = acc.reshape(-1, 2, L, N)
+    a2 = a.reshape(-1, n)
+    bsz = acc.shape[0]
+
+    acc = acc.at[:, 1].set(jnp.stack(
+        [automorphism_eval(rt.tables[li], acc[:, 1, li, :], M - 5)
+         for li in range(L)], axis=-2))
+
+    auto_amt, kind_t, j_t = _build_tape(key, a2, n, N, w)
+
+    def step(acc, xs):
+        amt, kind, jv = xs
+        t_val = key.pow5.astype(I64)[amt]
+        idx = jnp.maximum(amt, 1)
+        moved = _keyed_auto_rns(rt, params, t_val, key.auto[idx], acc)
+        acc = jnp.where((amt > 0)[:, None, None, None], moved, acc)
+        proc = _ext_prod_rlwe_rns(rt, params, key.evk[jv], acc)
+        acc = jnp.where((kind == 1)[:, None, None, None], proc, acc)
+        ak0 = jnp.broadcast_to(
+            key.auto[0][None], (bsz,) + key.auto[0].shape)
+        k0 = _keyed_auto_rns(
+            rt, params, jnp.full((bsz,), M - 5, I64), ak0, acc)
+        acc = jnp.where((kind == 2)[:, None, None, None], k0, acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(step, acc, (auto_amt, kind_t, j_t))
+    return acc.reshape(*lead, 2, L, N)

@@ -579,13 +579,33 @@ def bt_key_gen_rns(
     rt,
     lwe_sk: np.ndarray,
 ) -> RingGSWBTKey:
-    """BTKeyGen for >28-bit GINX sets over the RNS pair (ops/rns.py)."""
+    """BTKeyGen for >28-bit sets over the RNS pair (ops/rns.py):
+    GINX, AP, and LMKCDEY accumulators."""
     lp = params.lwe
     skN = lwe.key_gen_N(sampler, lp)         # int64, values in [0, Q_eff)
     ks = lwe.key_switch_gen(sampler, lp, lwe_sk, skN)
-    bs = cggi.key_gen_acc_rns(
-        sampler, params.rgsw, rt, skN, lwe_sk, lp.q_ks)
+    if params.method == BINFHE_METHOD.GINX:
+        bs = cggi.key_gen_acc_rns(
+            sampler, params.rgsw, rt, skN, lwe_sk, lp.q_ks)
+    elif params.method == BINFHE_METHOD.AP:
+        bs = dm.key_gen_acc_rns(
+            sampler, params.rgsw, rt, skN, lwe_sk, lp.q_ks)
+    elif params.method == BINFHE_METHOD.LMKCDEY:
+        bs = lmkcdey.key_gen_acc_rns(
+            sampler, params.rgsw, rt, skN, lwe_sk, lp.q_ks)
+    else:
+        raise NotImplementedError(params.method)
     return RingGSWBTKey(bs=bs, ks=ks)
+
+
+def _eval_acc_rns(rt, params: BinFHEParams, bs, acc, a, a_mod=None):
+    if params.method == BINFHE_METHOD.GINX:
+        return cggi.eval_acc_rns(rt, params.rgsw, bs, acc, a, a_mod)
+    if params.method == BINFHE_METHOD.AP:
+        return dm.eval_acc_rns(rt, params.rgsw, bs, acc, a, a_mod)
+    if params.method == BINFHE_METHOD.LMKCDEY:
+        return lmkcdey.eval_acc_rns(rt, params.rgsw, bs, acc, a)
+    raise NotImplementedError(params.method)
 
 
 def _make_gate_test_vector_rns(rt, params: BinFHEParams, gate: BINGATE, b,
@@ -634,7 +654,7 @@ def _gate_rotate_extract_rns(rt, params, gate, bs_key, a1, b1, a2, b2):
     m = _make_gate_test_vector_rns(rt, params, gate, prep.b)
     m_eval = rns_ntt_fwd(rt, m)                       # [..., L, N]
     acc = jnp.stack([jnp.zeros_like(m_eval), m_eval], axis=-3)
-    acc = cggi.eval_acc_rns(rt, params.rgsw, bs_key, acc, prep.a)
+    acc = _eval_acc_rns(rt, params, bs_key, acc, prep.a)
 
     a_t = jnp.stack(
         [transpose_eval(rt.tables[i], acc[..., 0, i, :]) for i in range(L)],

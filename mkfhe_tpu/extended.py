@@ -107,7 +107,7 @@ def _bootstrap_func_rotate_rns(rt, params, bs_key, a, b, lut_res, ct_mod):
 
     m_eval = rns_ntt_fwd(rt, m)
     acc = jnp.stack([jnp.zeros_like(m_eval), m_eval], axis=-3)
-    acc = cggi.eval_acc_rns(rt, params.rgsw, bs_key, acc, a, ct_mod)
+    acc = boot._eval_acc_rns(rt, params, bs_key, acc, a, ct_mod)
 
     a_t = jnp.stack(
         [_transpose(rt.tables[i], acc[..., 0, i, :]) for i in range(L)],

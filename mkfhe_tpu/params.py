@@ -201,13 +201,13 @@ def build_params_from(
         # reference's NATIVE_SIZE=32, basicint.h:56-61): run the ring at a
         # dual-limb RNS modulus q1*q2 >= 2^number_bits (ops/rns.py) — the
         # TPU-native counterpart of the reference's NATIVE_SIZE=64 build
-        # (and of its own DCRTPoly RNS layer). Supported for the GINX
-        # accumulator, which is what the >28-bit sets (STD256, STD192*,
-        # STD128Q_4) ship with.
-        if method != BINFHE_METHOD.GINX:
+        # (and of its own DCRTPoly RNS layer). Supported for the GINX,
+        # AP, and LMKCDEY accumulators.
+        if method not in (BINFHE_METHOD.GINX, BINFHE_METHOD.AP,
+                          BINFHE_METHOD.LMKCDEY):
             raise NotImplementedError(
                 f"{set_}: number_bits={p.number_bits} > 28 is supported "
-                "via the dual-limb RNS path for GINX only")
+                "via the dual-limb RNS path for GINX/AP/LMKCDEY only")
         from .ops.rns import pick_limbs
 
         limbs = pick_limbs(p.number_bits, p.cycl_order)

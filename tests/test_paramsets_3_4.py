@@ -54,9 +54,9 @@ def test_over_28bit_sets_resolve_to_rns_limbs():
         assert max(q1, q2) < (1 << 28)
 
     cc = BinFHEContext(seed=3)
-    with pytest.raises(NotImplementedError, match="GINX only"):
+    with pytest.raises(NotImplementedError, match="number_bits"):
         cc.GenerateBinFHEContext(BINFHE_PARAMSET.STD192,
-                                 BINFHE_METHOD.LMKCDEY)
+                                 BINFHE_METHOD.MKNTRU)
 
 
 @pytest.fixture(scope="module")

@@ -150,3 +150,36 @@ def test_real_bigq_sets_nand(name):
     out = cc.EvalBinGate(BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
     np.testing.assert_array_equal(
         np.asarray(cc.Decrypt(sk, out)), 1 - (m1 & m2))
+
+
+def test_bigq_ap_gates():
+    """AP (DM) accumulator over the dual-limb pair at the TOY 34-bit row."""
+    cc = BinFHEContext(seed=8)
+    cc.GenerateBinFHEContextCustom(TOY_BIGQ, BINFHE_METHOD.AP)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = np.array([0, 0, 1, 1])
+    m2 = np.array([0, 1, 0, 1])
+    out = cc.EvalBinGate(BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
+    np.testing.assert_array_equal(
+        np.asarray(cc.Decrypt(sk, out)), 1 - (m1 & m2))
+
+
+def test_bigq_lmkcdey_gates():
+    """LMKCDEY op tape over the dual-limb pair (q == N row)."""
+    from mkfhe_tpu.constants import ContextParams
+
+    row = ContextParams(
+        num_user=1, number_bits=34, cycl_order=1024, lattice_param=64,
+        mod=512, mod_ks=1 << 14, std_dev=1.9, base_ks=25, base_g=1 << 12,
+        base_rk=23, num_auto_keys=9,
+        key_dist=SecretKeyDist.GAUSSIAN)
+    cc = BinFHEContext(seed=10)
+    cc.GenerateBinFHEContextCustom(row, BINFHE_METHOD.LMKCDEY)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    m1 = np.array([0, 0, 1, 1])
+    m2 = np.array([0, 1, 0, 1])
+    out = cc.EvalBinGate(BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
+    np.testing.assert_array_equal(
+        np.asarray(cc.Decrypt(sk, out)), 1 - (m1 & m2))
