@@ -297,7 +297,10 @@ class BinFHEContext:
         not given it is inferred from the gate so a forgotten p cannot
         silently produce wrong outputs."""
         if p is None:
-            if gate in (BINGATE.MAJORITY, BINGATE.AND3, BINGATE.OR3):
+            # MAJORITY runs at p=4 (UnitTestFHEW.cpp:222: 3 inputs,
+            # ptmodulus 4 — distinguishing sum<2 from sum>=2 fits the
+            # p=4 encoding); AND3/OR3 need p=6, AND4/OR4 p=8.
+            if gate in (BINGATE.AND3, BINGATE.OR3):
                 p = 6
             elif gate in (BINGATE.AND4, BINGATE.OR4):
                 p = 8

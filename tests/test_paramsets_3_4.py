@@ -144,3 +144,19 @@ def test_lmkcdey_and3_std128_3_lmkcdey():
     out = cc.EvalBinGateMulti(BINGATE.AND3, cts, p=6)
     res = cc.Decrypt(sk, out, p=6)
     np.testing.assert_array_equal(res, m.all(axis=1).astype(np.int64))
+
+
+def test_majority_gate_std128_3():
+    """MAJORITY runs at p=4 (UnitTestFHEW.cpp:222: num_inputs=3,
+    ptmodulus=4) — caught by the r4 error-rate artifact: feeding p=6
+    inputs makes MAJORITY behave like AND3."""
+    cc = BinFHEContext(seed=31)
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET.STD128_3, BINFHE_METHOD.GINX)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    combos = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    m = np.array(combos)
+    cts = [cc.Encrypt(sk, m[:, i], p=4) for i in range(3)]
+    out = cc.EvalBinGateMulti(BINGATE.MAJORITY, cts)   # p inferred: 4
+    res = cc.Decrypt(sk, out, p=4)
+    np.testing.assert_array_equal(res, (m.sum(1) >= 2).astype(np.int64))

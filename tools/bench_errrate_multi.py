@@ -19,7 +19,8 @@ CASES = [
     # (paramset, method, gate, n_inputs, p)
     ("STD128_3", "GINX", "AND3", 3, 6),
     ("STD128_3", "GINX", "OR3", 3, 6),
-    ("STD128_3", "GINX", "MAJORITY", 3, 6),
+    ("STD128_3", "GINX", "MAJORITY", 3, 4),   # ptmodulus 4 per
+                                              # UnitTestFHEW.cpp:222
     ("STD128_4", "GINX", "AND4", 4, 8),
     ("STD128_4", "GINX", "OR4", 4, 8),
     ("STD128_3_LMKCDEY", "LMKCDEY", "AND3", 3, 6),
