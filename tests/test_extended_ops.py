@@ -191,3 +191,21 @@ def test_ext_profile_eval_decomp_first_digit(ctx_ext):
     digits = cc.EvalDecomp(ct, mod)
     got0 = decrypt_at(cc, sk, digits[0], q, p4)
     np.testing.assert_array_equal(got0, m % p4)
+
+
+def test_ext_profile_arbitrary_eval_func():
+    """arbFunc=True profile (q = ringDim, binfhecontext.cpp:64): an
+    ARBITRARY (non-negacyclic, non-periodic) LUT through the 54-bit
+    accumulator — exercises the modulus-boost q -> 2q path of EvalFunc."""
+    cc = BinFHEContext(seed=22)
+    cc.GenerateBinFHEContextExt(BINFHE_PARAMSET.TOY, arb_func=True,
+                                logQ=17)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    assert cc.params.lwe.q == cc.params.lwe.N      # arbFunc: q = ringDim
+    p = cc.GetMaxPlaintextSpace()
+    lut = cc.GenerateLUTviaFunction(lambda m, pp: (m * m) % pp, p)
+    m = np.arange(p)
+    ct = cc.Encrypt(sk, m, p=p)
+    res = cc.Decrypt(sk, cc.EvalFunc(ct, lut), p=p)
+    np.testing.assert_array_equal(res, (m * m) % p)

@@ -55,10 +55,14 @@ def run_case(paramset, method, gate, n_inputs, p, batch, ctx_cache):
     ms = rng.integers(0, 2, size=(n_inputs, batch))
     cts = [cc.Encrypt(sk, ms[i], p=p) for i in range(n_inputs)]
     out = cc.EvalBinGateMulti(BINGATE[gate], cts, p=p)
-    res = np.asarray(cc.Decrypt(sk, out))
+    # decode at the input ptmodulus, exactly as the reference unittests
+    # (UnitTestFHEW.cpp:476 Decrypt(..., ptmodulus)); a p=4 decode of a
+    # p=8-encoded output sits ON the rounding boundary and reads ~half
+    # the batch wrong (measured before this fix)
+    res = np.asarray(cc.Decrypt(sk, out, p=p))
     want = TRUTH[gate](ms)
     from mkfhe_tpu.utils import metrics
-    e = metrics.noise_lwe(cc.params.lwe, sk, out, want)
+    e = metrics.noise_lwe(cc.params.lwe, sk, out, want, p=p)
     q = cc.params.lwe.q
     margin = q / (2 * p)            # p-input margin, not the q/8 default
     a = np.abs(e.astype(np.float64))
