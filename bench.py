@@ -57,7 +57,8 @@ def bench_mkntru(paramset: str, batch: int, reps: int):
            for _ in range(reps)]
 
     out = fn(ct1.c, ct2.c)
-    out.block_until_ready()                      # compile + warmup
+    _ = int(out[0, 0, 0])   # warmup AND await it (block_until_ready
+                            # returns early over the tunnel)
     # per-rep wall time with a SCALAR host fetch (median): over the axon
     # tunnel block_until_ready returns before execution completes (0.0s
     # readings with distinct inputs, r4 k=4 ksweep) and a full-array fetch
@@ -101,7 +102,7 @@ def bench_ginx(paramset: str, batch: int, reps: int):
         cc.tables, cc.params, BINGATE.NAND, cc.bt_key, a1, b1, a2, b2)
 
     out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
-    out.b.block_until_ready()
+    _ = int(out.b[0])       # warmup + await (tunnel-safe)
     # chained reps (see bench_mkntru): cache-proof timing
     times = []
     for _ in range(reps):
@@ -269,7 +270,7 @@ def bench_sharded(paramset: str, batch: int, reps: int, party: int):
     with mesh:
         fn, _ = shard_mk_gate(mesh, cc.tables, cc.params, cc.mk_bt_key)
         out = fn(cc.ct_nand.c, ct1.c, ct2.c)
-        out.block_until_ready()
+        _ = int(out[0, 0, 0])   # warmup + await (tunnel-safe)
         times = []
         for r in range(reps):
             t0 = time.perf_counter()

@@ -51,7 +51,7 @@ def sweep_ginx(batches, reps):
             fn = lambda a1, b1, a2, b2: boot._gate_jit(
                 cc.tables, cc.params, BINGATE.NAND, cc.bt_key, a1, b1, a2, b2)
             out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
-            out.b.block_until_ready()
+            _ = int(out.b[0])   # warmup + await (tunnel-safe)
             # chained reps: rep i+1 consumes rep i's output (cache-proof)
             times = []
             for _ in range(reps):
@@ -107,7 +107,7 @@ def sweep_mk(batches, reps):
             c1s = [_mntru.eval_add(ct1, cc.Encrypt(sk, zero),
                                    cc.params.mntru.q).c for _ in range(reps)]
             out = fn(ct1.c, ct2.c)
-            out.block_until_ready()
+            _ = int(out[0, 0, 0])   # warmup + await (tunnel-safe)
             times = []
             for r in range(reps):
                 t0 = time.perf_counter()

@@ -44,7 +44,7 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
     c1s = [_mntru.eval_add(ct1, cc.Encrypt(sk, zero),
                            cc.params.mntru.q).c for _ in range(reps)]
     out = fn(ct1.c, ct2.c)
-    out.block_until_ready()
+    _ = int(out[0, 0, 0])   # warmup + await (tunnel-safe)
     # per-rep wall time, blocking each rep: block_until_ready on the
     # final value alone produced a 0.0s reading once over the axon tunnel
     # (r3 ksweep k=8 artifact); per-rep blocking + median + the

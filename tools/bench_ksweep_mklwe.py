@@ -42,7 +42,7 @@ def bench_one(paramset: str, batch: int, reps: int) -> dict:
             for _ in range(reps)]
 
     out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
-    _ = int(out.b[0])
+    _ = int(out.b[0])       # warmup + await (tunnel-safe)
     times = []
     for r in range(reps):
         t0 = time.perf_counter()

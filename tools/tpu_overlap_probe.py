@@ -29,7 +29,7 @@ def measure(cc, sk, batch, reps):
     fn = lambda a1, b1, a2, b2: boot._gate_jit(
         cc.tables, cc.params, BINGATE.NAND, cc.bt_key, a1, b1, a2, b2)
     out = fn(ct1.a, ct1.b, ct2.a, ct2.b)
-    out.b.block_until_ready()
+    _ = int(out.b[0])       # warmup + await (tunnel-safe)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
