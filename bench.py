@@ -14,8 +14,10 @@ efficiency_vs_peak vs the v5e int8 peak) and batch noise statistics
 (noise_p99, noise_margin_frac) — the "every modular kernel profiled
 against roofline" BASELINE bullet.
 
-Usage: python bench.py [--paramset STD100_MKNTRU] [--batch 64] [--reps 3]
+Usage: python bench.py [--paramset STD100_MKNTRU] [--batch N] [--reps 3]
        [--single-key]   (bench STD128 GINX instead)
+Default batches are the measured saturation points (1024 MK / 4096
+single-key, tools/batch_sweep.json).
 """
 
 import argparse
@@ -150,9 +152,10 @@ def main():
     _ntt.set_default_impl(impl)
 
     if args.batch is None:
-        # measured-best defaults (BASELINE.md r3 ladder): MK peaks at
-        # batch 256; single-key GINX at 512 (BT=256 tile)
-        args.batch = 512 if args.single_key else 256
+        # measured-best defaults (tools/batch_sweep r4): MK saturates at
+        # ~317 gates/s from batch 1024; single-key GINX at ~3.1k gates/s
+        # from batch 4096 (3165 at 16384)
+        args.batch = 4096 if args.single_key else 1024
 
     def run():
         if args.sharded:
