@@ -149,3 +149,71 @@ def butterfly_sharded_ntt_fn(mesh: Mesh, tables: nttm.NTTTables):
         return fn(psi, x)
 
     return run
+
+
+def butterfly_sharded_intt_fn(mesh: Mesh, tables: nttm.NTTTables):
+    """Inverse (GS) twin of butterfly_sharded_ntt_fn: bit-reversed EVAL in,
+    natural COEFF out, N contiguously sharded over 'ring'. Local stages
+    run first (2t <= C), the last log2(D) stages exchange whole chunks."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    N, Q = tables.N, tables.Q
+    axes = mesh.axis_names
+    ring = "ring" if "ring" in axes else axes[-1]
+    D = mesh.shape[ring]
+    C = N // D
+    assert C * D == N and (D & (D - 1)) == 0
+    ipsi = tables.ipsi_brv
+    n_inv = tables.n_inv
+
+    def local_fn(ipsi_rep, x):           # [B, C]
+        d = jax.lax.axis_index(ring)
+        B = x.shape[0]
+        m, t = N, 1
+        # -------- local stages: 2t <= C
+        while 2 * t <= C:
+            h = m // 2
+            nb = C // (2 * t)
+            w = jax.lax.dynamic_slice(ipsi_rep, (h + d * nb,), (nb,))
+            xb = x.reshape(B, nb, 2, t)
+            u = xb[:, :, 0, :]
+            v = xb[:, :, 1, :]
+            s = u + v
+            s = jnp.where(s >= Q, s - Q, s)
+            dff = u - v
+            dff = jnp.where(dff < 0, dff + Q, dff)
+            dff = ((dff.astype(I64) * w[None, :, None]) % Q).astype(I32)
+            x = jnp.stack([s, dff], axis=2).reshape(B, C)
+            t *= 2
+            m = h
+        # -------- cross-device stages: t >= C
+        while m > 1:
+            h = m // 2
+            step = t // C
+            perm = [(j, j ^ step) for j in range(D)]
+            other = jax.lax.ppermute(x, ring, perm)
+            is_u = ((d // step) % 2) == 0
+            w = ipsi_rep[h + d // (2 * step)]
+            u = jnp.where(is_u, x, other)
+            v = jnp.where(is_u, other, x)
+            s = u + v
+            s = jnp.where(s >= Q, s - Q, s)
+            dff = u - v
+            dff = jnp.where(dff < 0, dff + Q, dff)
+            dff = ((dff.astype(I64) * w) % Q).astype(I32)
+            x = jnp.where(is_u, s, dff)
+            t *= 2
+            m = h
+        return ((x.astype(I64) * n_inv) % Q).astype(I32)
+
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(P(), P(None, ring)),
+                   out_specs=P(None, ring))
+
+    @jax.jit
+    def run(x):
+        return fn(ipsi, x)
+
+    return run

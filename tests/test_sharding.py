@@ -121,3 +121,31 @@ def test_butterfly_sharded_ntt_16k():
         got = np.asarray(fn(x))
     want = np.asarray(nttm.ntt_fwd(tables, x))
     np.testing.assert_array_equal(got, want)
+
+
+def test_butterfly_sharded_intt_roundtrip_16k():
+    """Inverse pipeline: sharded INTT(sharded NTT(x)) == x at N=16384,
+    and matches the single-device ntt_inv bit-for-bit."""
+    import numpy as np
+    import jax
+    from jax.sharding import Mesh
+    from mkfhe_tpu.ops import ntt as nttm
+    from mkfhe_tpu.parallel.ring import (
+        butterfly_sharded_intt_fn, butterfly_sharded_ntt_fn)
+
+    N = 16384
+    q = nttm.previous_prime(nttm.first_prime(28, 2 * N), 2 * N)
+    tables = nttm.make_ntt_tables(N, q)
+    devs = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devs, ("ring",))
+    fwd = butterfly_sharded_ntt_fn(mesh, tables)
+    inv = butterfly_sharded_intt_fn(mesh, tables)
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, q, size=(3, N), dtype=np.int64).astype(np.int32)
+    with mesh:
+        ev = np.asarray(fwd(x))
+        back = np.asarray(inv(ev))
+    np.testing.assert_array_equal(back, x)
+    want = np.asarray(nttm.ntt_inv(tables, ev))
+    np.testing.assert_array_equal(back, want)
