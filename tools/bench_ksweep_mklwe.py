@@ -11,6 +11,9 @@ import os
 import sys
 import time
 
+# --fused off: k=16 shapes fail the remote compile helper on the fused
+# XZW_B kernel; the lax.scan path still runs them
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
@@ -71,7 +74,12 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--sets", nargs="*",
                     default=["STD100_MKNTRU_LWE", "STD100_MKNTRU_LWE_2"])
+    ap.add_argument("--fused", default="auto", choices=["auto", "on", "off"])
     args = ap.parse_args()
+
+    from mkfhe_tpu.ops import fused as _fused
+    if args.fused != "auto":
+        _fused.set_mode(args.fused)
 
     import jax
     from mkfhe_tpu.ops import ntt as _ntt
