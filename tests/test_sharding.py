@@ -96,11 +96,15 @@ def test_mk_gate_sharded_production_shape(mesh8):
     np.testing.assert_array_equal(res, 1 - (m1 & m2))
 
 
-def test_butterfly_sharded_ntt_16k():
-    """Butterfly-ppermute pipeline (SURVEY §2.5 item 2) at N=16384 on the
-    8-virtual-device ring mesh: bit-identical to the single-device
-    transform. Cross-device stages = log2(8) = 3 chunk exchanges; the
-    remaining 11 stages are local."""
+import pytest as _pt
+
+
+@_pt.mark.parametrize("D", [2, 4, 8])
+def test_butterfly_sharded_ntt_16k(D):
+    """Butterfly-ppermute pipeline (SURVEY §2.5 item 2) at N=16384 on
+    2/4/8-device ring meshes: bit-identical to the single-device
+    transform. Cross-device stages = log2(D) chunk exchanges; the rest
+    are local."""
     import numpy as np
     import jax
     from jax.sharding import Mesh
@@ -111,7 +115,7 @@ def test_butterfly_sharded_ntt_16k():
     q = nttm.previous_prime(nttm.first_prime(28, 2 * N), 2 * N)
     tables = nttm.make_ntt_tables(N, q)
 
-    devs = np.array(jax.devices()[:8]).reshape(8)
+    devs = np.array(jax.devices()[:D]).reshape(D)
     mesh = Mesh(devs, ("ring",))
     fn = butterfly_sharded_ntt_fn(mesh, tables)
 
