@@ -60,6 +60,7 @@ class BinFHEContext:
         from .params import build_params_from
 
         self.params = build_params_from(ctx_params, method, paramset)
+        self._custom_row = ctx_params     # for save/load_context round-trip
         self._init_tables()
         return self
 

@@ -130,6 +130,13 @@ def save_context(path: str, cc) -> None:
                        "arb_func": cc._ext_arb_func,
                        "N": cc._ext_N,
                        "time_opt": cc._ext_time_opt}
+    elif getattr(cc, "_custom_row", None) is not None:
+        # fully-custom parameter row (GenerateBinFHEContextCustom): the
+        # paramset name alone cannot reconstruct it
+        row = cc._custom_row
+        meta["custom"] = {**{f: getattr(row, f) for f in row._fields
+                             if f != "key_dist"},
+                          "key_dist": row.key_dist.name}
     if cc.crs is not None:
         blobs["crs"] = np.asarray(cc.crs)
     for name in ("bt_key", "mk_bt_key", "nbt_key", "ct_nand"):
@@ -172,6 +179,14 @@ def load_context(path: str):
         cc.GenerateBinFHEContextExt(
             BINFHE_PARAMSET(meta["paramset"]), e["arb_func"], e["logQ"],
             e["N"], BINFHE_METHOD[meta["method"]], e["time_opt"])
+    elif "custom" in meta:
+        from .constants import ContextParams, SecretKeyDist
+
+        c = dict(meta["custom"])
+        c["key_dist"] = SecretKeyDist[c["key_dist"]]
+        cc.GenerateBinFHEContextCustom(
+            ContextParams(**c), BINFHE_METHOD[meta["method"]],
+            BINFHE_PARAMSET(meta["paramset"]))
     else:
         cc.GenerateBinFHEContext(
             BINFHE_PARAMSET(meta["paramset"]), BINFHE_METHOD[meta["method"]])

@@ -86,3 +86,30 @@ def test_ext_profile_context_roundtrip(tmp_path):
     out = cc2.EvalSign(ct, mod)
     res = cc2.Decrypt(sk, out, p=2)
     np.testing.assert_array_equal(res, (m >= P // 2).astype(np.int64))
+
+
+def test_custom_params_context_roundtrip(tmp_path):
+    """Fully-custom contexts (GenerateBinFHEContextCustom) round-trip —
+    including a dual-limb RNS row. Before r4 the loader reconstructed the
+    TOY table row and the restored keys had mismatched shapes."""
+    import numpy as np
+    from mkfhe_tpu import BinFHEContext, serial
+    from mkfhe_tpu.constants import (
+        BINFHE_METHOD, BINGATE, ContextParams, SecretKeyDist)
+
+    row = ContextParams(1, 34, 1024, 64, 512, 1 << 14, 1.9, 25, 1 << 12,
+                        23, 9, SecretKeyDist.UNIFORM_TERNARY)
+    cc = BinFHEContext(seed=7)
+    cc.GenerateBinFHEContextCustom(row, BINFHE_METHOD.GINX)
+    sk = cc.KeyGen()
+    cc.BTKeyGen(sk)
+    p = str(tmp_path / "ctx_custom.npz")
+    serial.save_context(p, cc)
+    cc2 = serial.load_context(p)
+    assert cc2.params == cc.params
+    m1 = np.array([0, 1])
+    m2 = np.array([1, 1])
+    out = cc2.EvalBinGate(
+        BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
+    np.testing.assert_array_equal(
+        np.asarray(cc2.Decrypt(sk, out)), 1 - (m1 & m2))
