@@ -24,40 +24,36 @@ acc = jnp.asarray(rng.integers(0, Q, (B, 2, N)), I32)
 c_pos = jnp.asarray(rng.integers(0, 2*N, (B, n)), I32)
 c_neg = (2*N - c_pos) % (2*N)
 
+def _sync(out):
+    # scalar fetch: block_until_ready returns early over the axon tunnel
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    _ = np.asarray(leaf.ravel()[0])
+
 def timeit(name, fn, *a, reps=5):
-    out = fn(*a); jax.block_until_ready(out)
+    out = fn(*a); _sync(out)
     t0 = time.perf_counter()
-    for _ in range(reps): out = fn(*a)
-    jax.block_until_ready(out)
+    for _ in range(reps):
+        out = fn(*a)
+        _sync(out)
     dt = (time.perf_counter()-t0)/reps
     print(f"{name:30s} {dt*1e3:8.2f} ms  ({dt/B*1e6:7.1f} us/ct)")
     return dt
 
-mono = jax.jit(lambda c: nttm.monomial_minus_one_mxu(tables, c.T))
-t_mono = timeit("monomial one-hot [n,B,N] x2", lambda c1, c2: (mono(c1), mono(c2)), c_pos, c_neg)
-
-full = jax.jit(lambda a_, cp, cn: fused.cggi_scan_fused(tables, params, key, a_, cp, cn))
-t_full = timeit("cggi_scan_fused (incl mono)", full, acc, c_pos, c_neg)
-
-# kernel alone: reuse prebuilt monomials by calling the inner pallas path
-monp = mono(c_pos); monn = mono(c_neg)
-eksh = fused._shoup_companions(key, Q)
-from functools import partial
+# r4: monomials live IN the kernel (r3 optimization), so the
+# decomposition is (full fused rotation) for both variants of the
+# digit-transform/contraction schedule
+full = jax.jit(lambda a_, cp, cn: fused.cggi_scan_fused(
+    tables, params, key, a_, cp, cn))
+t_full = timeit("cggi_scan_fused (interleave)", full, acc, c_pos, c_neg)
+print(f"per-step: {t_full/n*1e6:.1f} us for {B} cts")
+fused.set_cggi_interleave(False)
+full2 = jax.jit(lambda a_, cp, cn: fused.cggi_scan_fused(
+    tables, params, key, a_, cp, cn))
+t_full2 = timeit("cggi_scan_fused (batched)", full2, acc, c_pos, c_neg)
+print(f"per-step: {t_full2/n*1e6:.1f} us for {B} cts")
+fused.set_cggi_interleave(True)
+t_pal = t_full
 dg = params.digits_g - 1
-mxu = nttm.get_mxu_tables(tables)
-winv = jnp.asarray(mxu.W_inv_s8); wfwd = jnp.asarray(mxu.W_fwd_s8)
-shift = jnp.asarray(fused._shift_row(tables, params.base_g).astype(np.int32))
-n_limbs_q = -(-(Q-1).bit_length()//7)
-kernel = partial(fused._cggi_kernel, Q=Q, base_g=params.base_g, dg=dg,
-                 n_steps=n, n_limbs_q=n_limbs_q)
-BT = min(B, 128)
-def pal(acc_, key_, eksh_, monp_, monn_):
-    with jax.enable_x64(False):
-        return fused._pallas_cggi(kernel, (B//BT,), B, BT, N, 2*dg, mxu,
-                                  acc_, key_, eksh_, monp_, monn_, winv, wfwd, shift)
-pal_j = jax.jit(pal)
-t_pal = timeit("pallas kernel only", pal_j, acc, key, eksh, monp, monn)
-print(f"per-step kernel: {t_pal/n*1e6:.1f} us for {B} cts")
 # roofline: kernel MACs/step
 macs_step = (2*B*16 + 2*dg*B*2*4) * N * N
 print(f"kernel MACs/step {macs_step/1e9:.2f}G -> at peak {macs_step/1.97e14*1e6:.1f} us")
@@ -71,7 +67,7 @@ t_tv = timeit("test vector build", tv, b_in)
 m_coeff = tv(b_in)
 tvn = jax.jit(lambda m: nttm.ntt_fwd(tables, m))
 t_tvn = timeit("test vector NTT", tvn, m_coeff)
-accf = pal_j(acc, key, eksh, monp, monn)
+accf = full(acc, c_pos, c_neg)
 ext = jax.jit(lambda a_: boot.extract_and_switch(tables, cc.params, cc.bt_key.ks, a_, (lp.Q>>3)+1))
 t_ext = timeit("extract+ms+keyswitch+ms", ext, accf)
 # keyswitch alone
