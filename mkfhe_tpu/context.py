@@ -38,11 +38,21 @@ class BinFHEContext:
         self.ct_nand = None
 
     # ------------------------------------------------------------ contexts
+    def _reset_profile_meta(self):
+        """Clear per-profile serialization metadata so a reused context
+        that switches Generate* flavors never saves stale meta (a custom
+        row or ext-profile attrs from a previous Generate call)."""
+        for attr in ("_custom_row", "_ext_time_opt", "_ext_logQ",
+                     "_ext_arb_func", "_ext_N"):
+            if hasattr(self, attr):
+                delattr(self, attr)
+
     def GenerateBinFHEContext(
         self,
         paramset: BINFHE_PARAMSET | str,
         method: BINFHE_METHOD = BINFHE_METHOD.GINX,
     ) -> "BinFHEContext":
+        self._reset_profile_meta()
         if isinstance(paramset, str):
             paramset = BINFHE_PARAMSET[paramset]
         self.params = build_params(paramset, method)
@@ -59,6 +69,7 @@ class BinFHEContext:
         binfhecontext.cpp:196-216). ctx_params: a constants.ContextParams."""
         from .params import build_params_from
 
+        self._reset_profile_meta()
         self.params = build_params_from(ctx_params, method, paramset)
         self._custom_row = ctx_params     # for save/load_context round-trip
         self._init_tables()
@@ -81,6 +92,7 @@ class BinFHEContext:
         (s64-wide keyswitch), baseG stepped by logQ, ring dim from the
         HE-standard table.
         """
+        self._reset_profile_meta()
         if isinstance(paramset, str):
             paramset = BINFHE_PARAMSET[paramset]
         if logQ > 29:
@@ -312,6 +324,11 @@ class BinFHEContext:
 
     def EvalNOT(self, ct) -> lwe.LWECiphertext:
         return boot.eval_not(self.params, ct)
+
+    def EvalConstant(self, value: bool) -> lwe.LWECiphertext:
+        """Noiseless trivial encryption of a boolean constant
+        (binfhecontext.cpp:440-442)."""
+        return lwe.noiseless_embedding(self.params.lwe, int(bool(value)))
 
     def Bootstrap(self, ct, p: int = 4) -> lwe.LWECiphertext:
         return boot.bootstrap(self.tables, self.params, self.bt_key, ct, p)

@@ -75,6 +75,8 @@ def base_digits_signed(a, q: int, base: int, digits: int):
     E[d^2] drops from (B-1)(2B-1)/6 to ~B^2/12, cutting key-switch noise
     ~2x with identical correctness semantics — the decisive term at high
     party counts (k=8/16)."""
+    assert base & (base - 1) == 0, \
+        f"base_digits_signed requires a power-of-2 base (got {base})"
     half_base = base // 2
     mask = base - 1
     gbits = base.bit_length() - 1

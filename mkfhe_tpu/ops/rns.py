@@ -63,6 +63,12 @@ def pick_limbs(number_bits: int, cycl_order: int) -> tuple[int, int]:
         if q1 == q2:
             q2 = previous_prime(q2, cycl_order)
     assert q1 != q2
+    if max(q1, q2) >= (1 << 28):
+        # the bump loop walked a limb past the u32-kernel ceiling (dense
+        # cyclOrders can exhaust the <28-bit prime supply)
+        raise NotImplementedError(
+            f"no dual-limb cover of 2^{number_bits} with both limbs "
+            f"< 2^28 for cyclOrder={cycl_order} (got {q1}, {q2})")
     return q1, q2
 
 
@@ -160,6 +166,8 @@ def rns_signed_digits(rt: RNSTables, x, base: int, digits: int):
     the composite Q_eff: centered lift, DROP the first digit, emit `digits`
     balanced digits as int32 in [-base/2, base/2) (same semantics as
     ops.decompose.signed_digit_decompose with signed=True)."""
+    assert base & (base - 1) == 0, \
+        f"rns_signed_digits requires a power-of-2 base (got {base})"
     half_base = base // 2
     mask = base - 1
     gbits = base.bit_length() - 1

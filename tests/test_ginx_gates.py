@@ -71,6 +71,29 @@ def test_not_and_bootstrap(ctx):
     np.testing.assert_array_equal(res2, m)
 
 
+def test_eval_constant(ctx):
+    """EvalConstant (binfhecontext.cpp:440-442): noiseless trivial
+    encryption of a boolean, decryptable without any key material."""
+    cc, sk = ctx
+    for v in (False, True):
+        ct = cc.EvalConstant(v)
+        res = np.asarray(cc.Decrypt(sk, ct))
+        assert int(res) == int(v)
+
+
+def test_generate_profile_reuse_resets_meta(ctx):
+    """A reused context that switches Generate* flavors must not keep
+    stale per-profile serialization metadata (ADVICE r4)."""
+    from mkfhe_tpu.constants import PARAM_SETS
+
+    cc = BinFHEContext(seed=3)
+    row = PARAM_SETS[BINFHE_PARAMSET.TOY]
+    cc.GenerateBinFHEContextCustom(row, BINFHE_METHOD.GINX)
+    assert getattr(cc, "_custom_row", None) is row
+    cc.GenerateBinFHEContext(BINFHE_PARAMSET.TOY, BINFHE_METHOD.GINX)
+    assert not hasattr(cc, "_custom_row")
+
+
 def test_three_input_majority(ctx):
     cc, sk = ctx
     combos = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
