@@ -35,6 +35,7 @@ oracle-check: oracle-build
 	./oracle/capture_mkntru  oracle/vectors/std128_mkntru    STD128_MKNTRU
 	./oracle/capture_mklwe   oracle/vectors/std100_mklwe
 	./oracle/capture_mklwe   oracle/vectors/std100_mklwe_k4 STD100_MKNTRU_LWE_2
+	./oracle/capture_mklwe   oracle/vectors/std100_mklwe_k8 STD100_MKNTRU_LWE_3
 	./oracle/capture_ginx    oracle/vectors/std128_ginx GINX
 	./oracle/capture_ginx    oracle/vectors/std128_ap   AP
 	./oracle/capture_lmkcdey oracle/vectors/std128_lmkcdey

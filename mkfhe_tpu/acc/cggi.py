@@ -37,10 +37,18 @@ class CGGIKey(NamedTuple):
     key_sh: floor(key * 2^32 / Q) as uint32, precomputed at keygen — the
     fused kernel's Shoup companions. Computing these in-graph costs a u64
     divide over the whole key per gate call (~19% of device time in the
-    r3 profile); host precompute makes them free."""
+    r3 profile); host precompute makes them free.
+
+    winv_f / wfwd_f: input-limb-folded s8 NTT weight planes
+    (ops.ntt.get_folded_tables, r5). Carried in the key pytree so they
+    enter jitted gate graphs as ARGUMENTS — embedding the ~24 MB tables
+    as HLO constants blows the remote-compile request size at large
+    batch (r5 multilaunch probe, HTTP 413)."""
 
     key: jnp.ndarray
     key_sh: jnp.ndarray | None = None
+    winv_f: jnp.ndarray | None = None
+    wfwd_f: jnp.ndarray | None = None
 
 
 def key_gen_acc(
@@ -93,9 +101,13 @@ def key_gen_acc(
     B_eval = (E_eval + A_eval * sk_np) % Q
     key = np.stack([A_msg_eval, B_eval], axis=3)
     key_sh = (key.astype(np.uint64) << np.uint64(32)) // np.uint64(Q)
+    from ..ops.ntt import get_folded_tables
+
+    winv_f, wfwd_f = get_folded_tables(tables, params.base_g)
     return CGGIKey(
         key=jnp.asarray(key, I32),
-        key_sh=jnp.asarray(key_sh.astype(np.uint32)))
+        key_sh=jnp.asarray(key_sh.astype(np.uint32)),
+        winv_f=jnp.asarray(winv_f), wfwd_f=jnp.asarray(wfwd_f))
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))
@@ -129,7 +141,8 @@ def eval_acc(
     if fused.enabled():
         out = fused.cggi_scan_fused(
             tables, params, key.key, acc,
-            c_pos.astype(I32), c_neg.astype(I32), key_sh=key.key_sh)
+            c_pos.astype(I32), c_neg.astype(I32), key_sh=key.key_sh,
+            winv_f=key.winv_f, wfwd_f=key.wfwd_f)
         return out.reshape(*lead, 2, N)
 
     def step(acc, xs):

@@ -337,7 +337,13 @@ def mk_bt_key_gen_mklwe(
     are UNIFORM_TERNARY (:298); accumulator is XZW_B."""
     f_coeff, f_evals, finv_evals = _mk_ring_secrets(
         sampler, params, tables, gaussian=False)
-    ks = mklwe.key_switch_gen(sampler, params.mklwe, sk, f_coeff)
+    if params.mklwe.ks_compact:
+        # r5 production path for k >= 8: j-linear signed-digit key
+        # (Bks/dc-fold smaller than the reference's expanded table —
+        # unblocks k=16, mklwe.MKLWECompactSwitchingKey docstring)
+        ks = mklwe.key_switch_gen_compact(sampler, params.mklwe, sk, f_coeff)
+    else:
+        ks = mklwe.key_switch_gen(sampler, params.mklwe, sk, f_coeff)
     pkey = _mk_pkey(sampler, params, tables, crs_eval, f_evals)
     bs = xzw.key_gen_acc(
         sampler, params.unienc, tables, finv_evals,
@@ -463,6 +469,9 @@ def _mk_gate_mklwe_jit(tables, params, ek, a1, b1, a2, b2):
     b_out = jnp.full(ct_ms1.b.shape, (up.Q >> 3) + 1, I32)
     ct_ext = mklwe.MKLWECiphertext(ext, b_out)
     ct_ms = mklwe.mod_switch(ct_ext, lp.q_ks, up.Q)
+    if isinstance(ek.ks, mklwe.MKLWECompactSwitchingKey):
+        return mklwe.key_switch_compact(
+            ct_ms, ek.ks, lp.q_ks, lp.base_c, lp.digits_c, lp.n)
     return mklwe.key_switch(
         ct_ms, ek.ks, lp.q_ks, lp.base_ks, lp.digits_ks, lp.n)
 

@@ -88,6 +88,28 @@ def set_cggi_interleave(on: bool) -> None:
     _CGGI_INTERLEAVE = on
 
 
+# r5: input-limb-folded weight planes (ops.ntt.get_folded_tables) — the
+# recombination constants 2^(7*la) live in the s8 weight tables, so the
+# per-step VPU Shoup chains shrink (INTT 7->4 diagonals, digit NTT 5->4)
+# at identical MXU MAC count. VMEM cost: ~24 MB of tables at N=1024
+# (CGGI); the N=2048 XZW tables (~96 MB) get their own switch.
+_CGGI_FOLDED = True
+_XZW_FOLDED = False
+
+
+def set_folded(cggi: bool | None = None, xzw: bool | None = None) -> None:
+    global _CGGI_FOLDED, _XZW_FOLDED
+    changed = False
+    if cggi is not None and cggi != _CGGI_FOLDED:
+        _CGGI_FOLDED = cggi
+        changed = True
+    if xzw is not None and xzw != _XZW_FOLDED:
+        _XZW_FOLDED = xzw
+        changed = True
+    if changed:
+        jax.clear_caches()
+
+
 class batch_tile:
     """Context manager that overrides the batch tile and restores the
     prior value (and compilation caches) on exit — for tests that
@@ -116,17 +138,36 @@ def _limbs_s8(x_u32, n_limbs: int):
     return out
 
 
-def _recombine(diag: dict, Q: int, extra=None, lazy: bool = False):
+def _recombine(diag: dict, Q: int, extra=None, lazy: bool = False,
+               raw_shift_max: int = 0):
     """Diagonal s32 partials -> u32 (ops.ntt _recombine_diagonals_u32,
     inlined so the kernel has no module dep). With lazy=True the final
-    Barrett is skipped and the result is a congruent value < (2D+1)*Q
-    (D diagonals) — valid as the arbitrary-u32 x operand of
-    shoup_mul_lazy_u32 / mulmod_u32 downstream."""
+    Barrett is skipped and the result is a congruent value < 2^31 —
+    valid as the arbitrary-u32 x operand of shoup_mul_lazy_u32 /
+    mulmod_u32 downstream.
+
+    The s=0 diagonal (weight 1) joins the sum RAW: its s32 partial is
+    non-negative and < na*N*127^2 < 2^28 for every supported shape, so
+    it needs no Shoup chain. Total bound: 2^28 + 2*(D-1)*Q + Q < 2^31
+    for D <= 5 diagonals and Q < 2^28.
+
+    raw_shift_max: when > 0, the s=1 diagonal's partial is bounded by it
+    and (max << 7) plus the rest of the sum fits u32, so D_1 joins the
+    sum as a plain left shift too (2^7 < Q, so the shifted value is the
+    exact contribution, no reduction needed). Used by the folded DIGIT
+    transform, where D_1 <= N*127*130 < 2^25 (N <= 1024)."""
     acc = None
     for s_, part in diag.items():
-        c = pow(2, 7 * s_, Q)
-        csh = (c << 32) // Q
-        term = shoup_mul_lazy_u32(part.astype(U32), U32(c), U32(csh), Q)
+        if s_ == 0:
+            term = part.astype(U32)       # weight 1: raw partial
+        elif s_ == 1 and raw_shift_max and (
+                (raw_shift_max << 7) + (len(diag) - 2) * 2 * Q + 2 * Q
+                + raw_shift_max < (1 << 32)):
+            term = part.astype(U32) << U32(7)   # exact: 2^7 < Q
+        else:
+            c = pow(2, 7 * s_, Q)
+            csh = (c << 32) // Q
+            term = shoup_mul_lazy_u32(part.astype(U32), U32(c), U32(csh), Q)
         acc = term if acc is None else acc + term
     if extra is not None:
         acc = acc + extra
@@ -134,16 +175,25 @@ def _recombine(diag: dict, Q: int, extra=None, lazy: bool = False):
 
 
 def _transform_s8(x_u32, w_ref, Q: int, n_limbs: int):
-    """Exact NTT/INTT: x [R, N] u32 in [0, Q) x W limbs [nw, N, N] int8
-    -> [R, N] u32 in [0, Q). Mirrors ops.ntt._mxu_transform_s8."""
-    nw = w_ref.shape[0]
+    """Exact NTT/INTT: x [R, N] u32 in [0, Q) -> [R, N] u32 in [0, Q).
+
+    w_ref [nw, N, N] int8: plain limb planes (ops.ntt._mxu_transform_s8
+    semantics, diagonals s = la + lw).
+    w_ref [na, nw, N, N] int8: FOLDED planes (ops.ntt.get_folded_tables)
+    — plane (la, lw) holds limb lw of (2^(7*la) * W mod Q), so the
+    output diagonals are just lw and the recombination shrinks from
+    na+nw-1 Shoup chains to nw-1 (lw=0 is raw). Same MXU MAC count."""
+    folded = len(w_ref.shape) == 4
+    nw = w_ref.shape[1] if folded else w_ref.shape[0]
     diag = {}
     for la, xl in enumerate(_limbs_s8(x_u32, n_limbs)):
         for lw in range(nw):
+            w_plane = (w_ref[np.int32(la), np.int32(lw)] if folded
+                       else w_ref[np.int32(lw)])
             part = jax.lax.dot_general(
-                xl, w_ref[np.int32(lw)], (((1,), (0,)), ((), ())),
+                xl, w_plane, (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
-            s_ = la + lw
+            s_ = lw if folded else la + lw
             diag[s_] = part if s_ not in diag else diag[s_] + part
     return _recombine(diag, Q)
 
@@ -153,19 +203,32 @@ def _digits_transform_s8(dsh_u32, wf_ref, shift_row_u32, Q: int,
     """Forward NTT of SHIFTED digits in [0, base): fewer input limbs +
     the constant-shift image folded into the lazy sum (ops.ntt
     _digits_fwd_s8). dsh: [R, N]; shift_row: [1, N] u32 in [0, Q).
-    lazy=True returns congruent values < (2D+1)*Q (see _recombine)."""
+    wf_ref: [nw, N, N] plain or [nd, nw, N, N] folded planes (see
+    _transform_s8). lazy=True returns congruent values < 2^31."""
     n_limbs = -(-max(1, (base - 1).bit_length()) // 7)
-    nw = wf_ref.shape[0]
+    folded = len(wf_ref.shape) == 4
+    nw = wf_ref.shape[1] if folded else wf_ref.shape[0]
     diag = {}
     for la, xl in enumerate(_limbs_s8(dsh_u32, n_limbs)):
         for lw in range(nw):
+            w_plane = (wf_ref[np.int32(la), np.int32(lw)] if folded
+                       else wf_ref[np.int32(lw)])
             part = jax.lax.dot_general(
-                xl, wf_ref[np.int32(lw)], (((1,), (0,)), ((), ())),
+                xl, w_plane, (((1,), (0,)), ((), ())),
                 preferred_element_type=I32)
-            s_ = la + lw
+            s_ = lw if folded else la + lw
             diag[s_] = part if s_ not in diag else diag[s_] + part
     extra = jnp.broadcast_to(shift_row_u32, dsh_u32.shape)
-    return _recombine(diag, Q, extra=extra, lazy=lazy)
+    # tight s=1 partial bound: the la-th input limb carries at most
+    # (base-1) >> 7*la (digits < base) and weight-plane entries are
+    # <= 127 — small enough at N <= 1024 that D_1 << 7 joins the lazy
+    # sum raw (no Shoup chain); _recombine re-checks the full u32 bound
+    N = dsh_u32.shape[-1]
+    d1_max = N * 127 * sum(
+        min(base - 1, 127) if la_ == 0 else (base - 1) >> (7 * la_)
+        for la_ in range(n_limbs))
+    return _recombine(diag, Q, extra=extra, lazy=lazy,
+                      raw_shift_max=d1_max)
 
 
 def _signed_digits(a_u32, Q: int, base: int, digits: int):
@@ -389,11 +452,14 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
 
 @partial(jax.jit, static_argnames=("params",))
 def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
-                    key_sh=None):
+                    key_sh=None, winv_f=None, wfwd_f=None):
     """Full GINX blind rotation in one pallas_call.
 
     key_arr: [n, 2, dg2, 2, N] i32; acc: [B, 2, N] i32 EVAL;
     c_pos/c_neg: [B, n] i32 rotation indices in [0, 2N).
+    winv_f/wfwd_f: folded weight planes passed as runtime args (from
+    CGGIKey; the in-trace constant fallback below is for raw test keys —
+    large constants overflow the remote-compile request at big batch).
     Returns [B, 2, N] i32 EVAL — bit-equal to the lax.scan path.
     """
     Q, N = params.Q, params.N
@@ -410,8 +476,15 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
     n_limbs_q = -(-(Q - 1).bit_length() // 7)
 
     mxu = nttm.get_mxu_tables(tables)
-    winv = jnp.asarray(mxu.W_inv_s8)
-    wfwd = jnp.asarray(mxu.W_fwd_s8)
+    if _CGGI_FOLDED:
+        if winv_f is not None and wfwd_f is not None:
+            winv, wfwd = winv_f, wfwd_f
+        else:
+            winv_np, wfwd_np = nttm.get_folded_tables(tables, params.base_g)
+            winv, wfwd = jnp.asarray(winv_np), jnp.asarray(wfwd_np)
+    else:
+        winv = jnp.asarray(mxu.W_inv_s8)
+        wfwd = jnp.asarray(mxu.W_fwd_s8)
     shift = jnp.asarray(
         _shift_row(tables, params.base_g).astype(np.int32))
 
@@ -470,9 +543,9 @@ def _pallas_cggi(kernel, grid, B, BT, N, dg2, mxu, acc, key_arr, eksh,
                          memory_space=pltpu.VMEM),  # c_pos
             pl.BlockSpec((n_steps, BT), lambda i: (0, i),
                          memory_space=pltpu.VMEM),  # c_neg
-            pl.BlockSpec((mxu.W_inv_s8.shape[0], N, N), lambda i: (0, 0, 0),
+            pl.BlockSpec(winv.shape, lambda i, _n=winv.ndim: (0,) * _n,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mxu.W_fwd_s8.shape[0], N, N), lambda i: (0, 0, 0),
+            pl.BlockSpec(wfwd.shape, lambda i, _n=wfwd.ndim: (0,) * _n,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -677,8 +750,12 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary,
     n_limbs_q = -(-(Q - 1).bit_length() // 7)
 
     mxu = nttm.get_mxu_tables(tables)
-    winv = jnp.asarray(mxu.W_inv_s8)
-    wfwd = jnp.asarray(mxu.W_fwd_s8)
+    if _XZW_FOLDED:
+        winv_np, wfwd_np = nttm.get_folded_tables(tables, params.base_g)
+        winv, wfwd = jnp.asarray(winv_np), jnp.asarray(wfwd_np)
+    else:
+        winv = jnp.asarray(mxu.W_inv_s8)
+        wfwd = jnp.asarray(mxu.W_fwd_s8)
     shift = jnp.asarray(
         _shift_row(tables, params.base_g).astype(np.int32))
 
@@ -746,9 +823,9 @@ def _pallas_xzw(kernel, scratch, B, BT, k, dG, N, mxu, acc, ek_steps,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, dG, N), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mxu.W_inv_s8.shape[0], N, N), lambda i: (0, 0, 0),
+            pl.BlockSpec(winv.shape, lambda i, _n=winv.ndim: (0,) * _n,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((mxu.W_fwd_s8.shape[0], N, N), lambda i: (0, 0, 0),
+            pl.BlockSpec(wfwd.shape, lambda i, _n=wfwd.ndim: (0,) * _n,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, N), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

