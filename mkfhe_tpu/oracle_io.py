@@ -374,3 +374,56 @@ def load_xzddf_vectors(path: str):
            "ctout_nand": load_ct("ctout_nand")}
     sk = _read(path, "sk", (n,))
     return params, tables, ek, cts, sk
+
+
+def load_ext64_vectors(path: str):
+    """Load capture_ext64 dumps (NATIVE_SIZE=64 reference build, the
+    TOY large-precision profile: 54-bit prime Q, qKS=2^35).
+
+    Returns (meta, sk, ksk, units, streams):
+      * sk: [n] int64 LWE secret
+      * ksk: schemes.lwe.LWESwitchingKey (int64 — qKS > 2^31)
+      * units: dict of keyswitch/ModSwitch unit vectors
+        (in: [R, N+1] mod qKS; out/ms: [R, n+1])
+      * streams: dict of EvalSign/EvalFloor/EvalDecomp inputs, output
+        ciphertexts and reference-decrypted values
+    """
+    from .ops.modmath import I64
+    from .schemes.lwe import LWESwitchingKey
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "profile" else int(val)
+    n, N = meta["n"], meta["N"]
+    bks, dks = meta["bks"], meta["dks"]
+
+    sk = _read(path, "sk", (n,))
+    ksk = LWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), I64),
+        B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), I64))
+
+    R = 4
+    units = {
+        "in": _read(path, "ksunit_in", (R, N + 1)),
+        "out": _read(path, "ksunit_out", (R, n + 1)),
+        "ms": _read(path, "ksunit_ms", (R, n + 1)),
+    }
+    streams = {}
+    for name in ("sign", "floor"):
+        m = _read(path, name + "_m", (-1,))
+        streams[name] = {
+            "m": m,
+            "ct": _read(path, name + "_ct", (m.size, n + 1)),
+            "res": _read(path, name + "_res", (m.size,)),
+        }
+    m = _read(path, "decomp_m", (-1,))
+    count = _read(path, "decomp_count", (m.size,))
+    total = int(count.sum())
+    streams["decomp"] = {
+        "m": m, "count": count,
+        "ct": _read(path, "decomp_ct", (total, n + 1)),
+        "res": _read(path, "decomp_res", (total,)),
+    }
+    return meta, sk, ksk, units, streams

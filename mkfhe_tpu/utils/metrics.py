@@ -62,6 +62,20 @@ def noise_mntru(params, sk, ct, m, p: int = 4, nand_shifted: bool = True):
     return _signed(phase - want, q)
 
 
+def noise_mklwe(params, sk, ct, m, p: int = 4):
+    """Signed noise of an MKLWE ciphertext batch (the WITH_NOISE_DEBUG
+    quantity). Unlike the MNTRU decode, MKLWE's Decrypt adds q/2p
+    (mklwe-pke.cpp:66-112), so both fresh AND gate ciphertexts are
+    centered at m*q/p — no NAND shift; the margin is q/2p."""
+    q = params.q
+    s = _signed(sk, params.q_ks) % q
+    a = np.asarray(ct.a, np.int64)
+    b = np.asarray(ct.b, np.int64)
+    phase = (b - np.einsum("...kn,kn->...", a, s)) % q
+    want = (np.asarray(m, np.int64) % p) * (q // p)
+    return _signed(phase - want, q)
+
+
 def noise_stats(noise: np.ndarray, q: int) -> dict:
     """Batch noise summary: std, max, p99, margin utilisation vs q/8."""
     a = np.abs(noise.astype(np.float64))

@@ -10,3 +10,13 @@ for n in ${@:-capture_mkntru capture_mklwe capture_ginx capture_lmkcdey capture_
   echo "g++ $n"
   g++ -O2 -std=c++17 -fopenmp $INC -o "$n" "$n.cpp" $LIBS -lpthread
 done
+
+# 64-bit-native harnesses (oracle/build64.sh first): the >28-bit surface
+INC64="-I$REF/src/binfhe/include -I$REF/src/core/include -I$REF/third-party/cereal/include -Ibuild64/src/core -isystem ntl_shim"
+LIBS64="build64/lib/libOPENFHEbinfhe_static.a build64/lib/libOPENFHEcore_static.a"
+if [ -f build64/lib/libOPENFHEcore_static.a ]; then
+  for n in capture_ext64 capture_bigq64; do
+    echo "g++ $n (NATIVE_SIZE=64)"
+    g++ -O2 -std=gnu++17 -fopenmp $INC64 -o "$n" "$n.cpp" $LIBS64 -lpthread
+  done
+fi
