@@ -74,6 +74,14 @@ def previous_prime(p: int, m: int) -> int:
     return p
 
 
+def first_prime_above(p: int, m: int) -> int:
+    """Smallest prime > p with p == 1 (mod m) (nbtheory NextPrime)."""
+    p += m
+    while not is_prime(p):
+        p += m
+    return p
+
+
 def _primitive_root(q: int) -> int:
     """Smallest generator of Z_q^* for prime q."""
     fac = []

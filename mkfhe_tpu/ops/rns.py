@@ -38,37 +38,57 @@ import jax.numpy as jnp
 
 from .modmath import I32, I64
 from .ntt import (
-    NTTTables, first_prime, make_ntt_tables, ntt_fwd, ntt_inv,
-    previous_prime,
+    NTTTables, first_prime, is_prime, make_ntt_tables, ntt_fwd,
+    ntt_inv, previous_prime,
 )
 
 
 def pick_limbs(number_bits: int, cycl_order: int) -> tuple[int, int]:
     """Two distinct NTT-friendly primes (== 1 mod cyclOrder) whose product
-    is the smallest comfortable cover of 2^number_bits.
+    is a MINIMAL cover of 2^number_bits (both limbs <= 28 bits, the
+    u32-kernel ceiling).
 
-    Split the bit budget roughly in half (both limbs <= 28 bits, the
-    u32-kernel ceiling), and bump until q1*q2 >= 2^number_bits."""
+    Splitting the bit budget as ceil/floor halves and taking FirstPrime
+    at each half guarantees q1*q2 >= 2^b1 * 2^b2 = 2^number_bits with no
+    slack bump — the composite stays within ~1 bit of the reference's
+    single prime, so derived quantities (digits_g in particular) match
+    the NATIVE_SIZE=64 build's (r5: the +2/+3-slack split used through
+    r4 produced a 53-bit cover for STD128Q_4's 50-bit requirement and
+    inflated digits_g to 3 vs the reference's 2 — a 33% rotation-work
+    parity gap caught by oracle/vectors/std128q4_64)."""
     if number_bits > 54:
         raise NotImplementedError(
             f"number_bits={number_bits} > 54 exceeds the dual-limb design")
-    b1 = min(28, number_bits // 2 + 2)
-    b2 = min(28, number_bits - b1 + 3)
-    q1 = previous_prime(first_prime(b1, cycl_order), cycl_order)
-    q2 = previous_prime(first_prime(b2, cycl_order), cycl_order)
-    if q1 == q2:
-        q2 = previous_prime(q2, cycl_order)
-    while q1 * q2 < (1 << number_bits):
-        q2 = first_prime((q2.bit_length()) + 1, cycl_order)
-        if q1 == q2:
-            q2 = previous_prime(q2, cycl_order)
-    assert q1 != q2
-    if max(q1, q2) >= (1 << 28):
-        # the bump loop walked a limb past the u32-kernel ceiling (dense
-        # cyclOrders can exhaust the <28-bit prime supply)
+    b1 = -(-number_bits // 2)
+    hi = 1 << number_bits
+    best = None
+    # search a few q1 candidates upward from 2^ceil(nb/2); for each take
+    # the largest NTT-friendly q2 with q1*q2 < 2^nb, and keep the pair
+    # whose composite is closest below 2^nb (NTT-friendly primes are
+    # sparse at small bit sizes, so a single greedy pick can undershoot)
+    q1 = first_prime(b1, cycl_order)
+    for _ in range(32):
+        if q1 >= (1 << 28):
+            break
+        q2_max = (hi - 1) // q1
+        q2 = q2_max - ((q2_max - 1) % cycl_order)
+        while q2 >= 3 and (q2 == q1 or not is_prime(q2)):
+            q2 -= cycl_order
+        if q2 >= 3:
+            prod = q1 * q2
+            if best is None or prod > best[0]:
+                best = (prod, q1, q2)
+            if prod * 2 > hi:       # within 1 bit of the target: done
+                break
+        q1 += cycl_order
+        while not is_prime(q1):
+            q1 += cycl_order
+    if best is None or best[0] * 2 <= hi:
         raise NotImplementedError(
-            f"no dual-limb cover of 2^{number_bits} with both limbs "
-            f"< 2^28 for cyclOrder={cycl_order} (got {q1}, {q2})")
+            f"no dual-limb cover near 2^{number_bits} with both limbs "
+            f"< 2^28 for cyclOrder={cycl_order}")
+    _, q1, q2 = best
+    assert (1 << (number_bits - 1)) < q1 * q2 < hi and q1 != q2
     return q1, q2
 
 

@@ -427,3 +427,32 @@ def load_ext64_vectors(path: str):
         "res": _read(path, "decomp_res", (total,)),
     }
     return meta, sk, ksk, units, streams
+
+
+def load_bigq64_vectors(path: str):
+    """Load capture_bigq64 dumps (NATIVE_SIZE=64 build, >28-bit GINX
+    sets). Returns (meta, sk, ksk, units, gate_res[4, 4])."""
+    from .ops.modmath import I64
+    from .schemes.lwe import LWESwitchingKey
+
+    meta = {}
+    with open(os.path.join(path, "meta.txt")) as fh:
+        for line in fh:
+            key, val = line.split()
+            meta[key] = val if key == "paramset" else int(val)
+    n, N = meta["n"], meta["N"]
+    bks, dks = meta["bks"], meta["dks"]
+
+    sk = _read(path, "sk", (n,))
+    dtype = I32 if meta["qks"] < (1 << 31) else I64
+    ksk = LWESwitchingKey(
+        A=jnp.asarray(_read(path, "ksk_a", (N, bks, dks, n)), dtype),
+        B=jnp.asarray(_read(path, "ksk_b", (N, bks, dks)), dtype))
+    R = 4
+    units = {
+        "in": _read(path, "ksunit_in", (R, N + 1)),
+        "out": _read(path, "ksunit_out", (R, n + 1)),
+        "ms": _read(path, "ksunit_ms", (R, n + 1)),
+    }
+    gate_res = _read(path, "gate_res", (4, 4))
+    return meta, sk, ksk, units, gate_res

@@ -167,3 +167,77 @@ def test_eval_decomp_stream_matches_reference(vectors, ctx_ext):
     got = np.stack(got, axis=1).reshape(-1)   # [m, digits] row-major
     want = streams["decomp"]["res"]
     np.testing.assert_array_equal(got, want)
+
+
+# ------------------------- >28-bit GINX sets (capture_bigq64, STD128Q_4)
+
+BIGQ_VEC = os.path.join(os.path.dirname(__file__), "..", "oracle",
+                        "vectors", "std128q4_64")
+
+bigq_mark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(BIGQ_VEC, "meta.txt")),
+    reason="bigq64 oracle vectors not generated")
+
+
+@pytest.fixture(scope="module")
+def bigq_vectors():
+    from mkfhe_tpu.oracle_io import load_bigq64_vectors
+
+    return load_bigq64_vectors(BIGQ_VEC)
+
+
+@bigq_mark
+def test_bigq_meta_matches_table(bigq_vectors):
+    """Our STD128Q_4 LWE-layer geometry vs the 64-bit reference build."""
+    from mkfhe_tpu.constants import BINFHE_METHOD, BINFHE_PARAMSET
+    from mkfhe_tpu.params import build_params
+
+    meta, *_ = bigq_vectors
+    p = build_params(BINFHE_PARAMSET.STD128Q_4, BINFHE_METHOD.GINX)
+    lp = p.lwe
+    assert lp.n == meta["n"] and lp.N == meta["N"]
+    assert lp.q == meta["q"] and lp.q_ks == meta["qks"]
+    assert lp.base_ks == meta["bks"] and lp.digits_ks == meta["dks"]
+    assert p.rgsw.base_g == meta["baseG"]
+    assert p.rgsw.digits_g == meta["digitsG"]
+    # ring modulus: 50-bit prime there, dual-limb composite here — both
+    # sit just below 2^50 (the one by-design non-comparable quantity),
+    # so every derived digit count above matched exactly
+    assert (1 << 49) < p.rgsw.Q < (1 << 50)
+    assert (1 << 49) < meta["Q"] < (1 << 50)
+
+
+@bigq_mark
+def test_bigq_keyswitch_bit_exact(bigq_vectors):
+    """Bit-exact replay of the STD128Q_4 switching key + ModSwitch: the
+    KSK encodes the ternary ring secret whose SwitchModulus image does
+    not depend on the ring modulus, so this tail is fully comparable."""
+    from mkfhe_tpu.schemes import lwe
+
+    meta, sk, ksk, units, _ = bigq_vectors
+    n, N = meta["n"], meta["N"]
+    qks, bks, dks = meta["qks"], meta["bks"], meta["dks"]
+
+    ct = lwe.LWECiphertext(units["in"][:, :N], units["in"][:, N])
+    out = lwe.key_switch(ct, ksk, qks, bks, dks, n)
+    got = np.concatenate(
+        [np.asarray(out.a, np.int64),
+         np.asarray(out.b, np.int64)[:, None]], axis=1)
+    np.testing.assert_array_equal(got, units["out"])
+
+    ms = lwe.mod_switch(out, meta["q"], qks)
+    got_ms = np.concatenate(
+        [np.asarray(ms.a, np.int64),
+         np.asarray(ms.b, np.int64)[:, None]], axis=1)
+    np.testing.assert_array_equal(got_ms, units["ms"])
+
+
+@bigq_mark
+def test_bigq_reference_gate_truth_tables(bigq_vectors):
+    """The 64-bit reference's own STD128Q_4 gate outputs — the semantic
+    anchor the RNS path is held to (tests/test_rns_bigq runs our side)."""
+    *_, gate_res = bigq_vectors
+    m1 = np.array([0, 0, 1, 1])
+    m2 = np.array([0, 1, 0, 1])
+    want = np.stack([m1 & m2, m1 | m2, 1 - (m1 & m2), 1 - (m1 | m2)])
+    np.testing.assert_array_equal(gate_res, want)

@@ -160,7 +160,8 @@ def test_ext_profile_params(ctx_ext):
     cc, sk = ctx_ext
     lp, rg = cc.params.lwe, cc.params.rgsw
     assert lp.q_ks == 1 << 35
-    assert rg.limbs and rg.Q >= (1 << 54)
+    # composite just below 2^54, like the reference's 54-bit prime
+    assert rg.limbs and (1 << 53) < rg.Q < (1 << 54)
     assert lp.N == 2048 and lp.q == 2 * lp.N
     assert rg.base_g == 1 << 18      # logQ in (16, 25]
 

@@ -102,7 +102,10 @@ def bigq_ctx():
 def test_bigq_params(bigq_ctx):
     cc, sk = bigq_ctx
     rg = cc.params.rgsw
-    assert rg.limbs and rg.Q >= (1 << 34)
+    # the composite sits just BELOW 2^number_bits, mirroring the
+    # reference's PreviousPrime(FirstPrime(nb)) choice (r5 pick_limbs —
+    # the r4 overshoot inflated digits_g vs the NATIVE_SIZE=64 build)
+    assert rg.limbs and (1 << 33) < rg.Q < (1 << 34)
     assert rg.digits_g == int(np.ceil(np.log(rg.Q) / np.log(rg.base_g)))
 
 
