@@ -235,18 +235,31 @@ def key_gen_acc_rns(
             E_eval[..., li, :].astype(np.int64)
             + A_eval[..., li, :].astype(np.int64) * sk_eval[li]) % q
     key = np.stack([A_msg_eval.astype(np.int64), B_eval], axis=3)
-    return CGGIKey(key=jnp.asarray(key, I32), key_sh=None)
+    # per-limb Shoup companions (the u32 step consumes them; r5)
+    key_sh = np.empty(key.shape, np.uint32)
+    for li, q in enumerate(rt.limbs):
+        key_sh[..., li, :] = (
+            (key[..., li, :].astype(np.uint64) << np.uint64(32))
+            // np.uint64(q)).astype(np.uint32)
+    return CGGIKey(key=jnp.asarray(key, I32), key_sh=jnp.asarray(key_sh))
 
 
 def eval_acc_rns(rt, params: RGSWParams, key: CGGIKey, acc, a,
                  a_mod: int | None = None) -> jnp.ndarray:
     """Blind rotation over the RNS pair: acc [..., 2, L, N] EVAL,
-    a [..., n] mod q. Per-limb NTT/monomial/contraction; the gadget
-    decomposition recombines via Garner into s64 and re-splits
-    (ops/rns.py). Not fused (capability path; see module docstring)."""
+    a [..., n] mod q. Per-limb NTT/monomial/contraction (ops/rns.py).
+
+    r5: the step body is ALL-u32 — per-limb Shoup contraction against
+    keygen-time companions, mulmod_u32 monomial multiplies, and the
+    (hi, lo)-pair Garner digit chain (rns_signed_digits_u32). The r4
+    form ran every product through emulated s64 lanes (~30x per op on
+    the TPU VPU) and measured 40 gates/s at STD128Q_4; see
+    tools/rns_probe.json for the before/after."""
+    from ..ops.modmath import (
+        U32, barrett_reduce_u32, mulmod_u32, shoup_mul_lazy_u32)
     from ..ops.poly import monomial_minus_one_eval
     from ..ops.rns import (
-        rns_digits_to_eval, rns_ntt_inv, rns_signed_digits)
+        rns_digits_to_eval, rns_ntt_inv, rns_signed_digits_u32)
 
     N = params.N
     L = len(rt.limbs)
@@ -263,35 +276,49 @@ def eval_acc_rns(rt, params: RGSWParams, key: CGGIKey, acc, a,
     c_pos = (((q - a2) % q).astype(I64) * m_by_mod) % (2 * N)
     c_neg = (2 * N - c_pos) % (2 * N)
 
-    limbs_col = jnp.asarray(
-        np.asarray(rt.limbs, np.int64)[None, None, :, None])  # [1,1,L,1]
+    ek_sh_all = key.key_sh
+    if ek_sh_all is None:      # raw test keys: one-off in-graph fallback
+        parts = []
+        for li, ql in enumerate(rt.limbs):
+            parts.append(((key.key[..., li, :].astype(jnp.uint64)
+                           << jnp.uint64(32)) // jnp.uint64(ql))
+                         .astype(jnp.uint32))
+        ek_sh_all = jnp.stack(parts, axis=-2)
 
     def step(acc, xs):
-        ek, cp, cn = xs           # ek: [2, dg2, 2, L, N]
+        ek, eksh, cp, cn = xs     # ek/eksh: [2, dg2, 2, L, N]
         ct0 = rns_ntt_inv(rt, acc)                       # [B, 2, L, N]
-        d0 = rns_signed_digits(rt, ct0[:, 0], params.base_g, dg)
-        d1 = rns_signed_digits(rt, ct0[:, 1], params.base_g, dg)
+        d0 = rns_signed_digits_u32(rt, ct0[:, 0], params.base_g, dg)
+        d1 = rns_signed_digits_u32(rt, ct0[:, 1], params.base_g, dg)
         dig = jnp.stack([d0, d1], axis=1).reshape(
             (dg2,) + d0.shape[1:])                       # [dg2, B, N]
         dct = rns_digits_to_eval(rt, dig)                # [dg2, B, L, N]
-        dct = jnp.moveaxis(dct, 0, 1)                    # [B, dg2, L, N]
 
-        prod = (dct[:, None, :, None, :, :].astype(I64)
-                * ek[None].astype(I64)).sum(axis=2)      # [B, 2, 2, L, N]
-        tmp = (prod % limbs_col[..., None, :, :]).astype(I32)
+        new_limbs = []
+        for li, ql in enumerate(rt.limbs):
+            dct_l = dct[..., li, :].astype(U32)          # [dg2, B, N]
+            mon_p = monomial_minus_one_eval(
+                rt.tables[li], cp).astype(U32)           # [B, N]
+            mon_n = monomial_minus_one_eval(rt.tables[li], cn).astype(U32)
+            comps = []
+            for c in range(2):
+                sums = []
+                for t in range(2):
+                    s = None
+                    for d2 in range(dg2):
+                        term = shoup_mul_lazy_u32(
+                            dct_l[d2],
+                            ek[t, d2, c, li][None].astype(U32),
+                            eksh[t, d2, c, li][None], ql)
+                        s = term if s is None else s + term  # < 2*dg2*ql
+                    sums.append(barrett_reduce_u32(s, ql))
+                a0 = mulmod_u32(sums[0], mon_p, ql)      # [0, ql)
+                a1 = mulmod_u32(sums[1], mon_n, ql)
+                s = acc[:, c, li, :].astype(U32) + a0 + a1   # < 3*ql
+                comps.append(barrett_reduce_u32(s, ql).astype(I32))
+            new_limbs.append(jnp.stack(comps, axis=1))   # [B, 2, N]
+        return jnp.stack(new_limbs, axis=2), None        # [B, 2, L, N]
 
-        mons_p = jnp.stack(
-            [monomial_minus_one_eval(rt.tables[i], cp) for i in range(L)],
-            axis=-2)                                     # [B, L, N]
-        mons_n = jnp.stack(
-            [monomial_minus_one_eval(rt.tables[i], cn) for i in range(L)],
-            axis=-2)
-        upd = (tmp[:, 0].astype(I64) * mons_p[:, None].astype(I64)
-               + tmp[:, 1].astype(I64) * mons_n[:, None].astype(I64)
-               ) % limbs_col
-        return ((acc + upd.astype(I32)) % limbs_col.astype(I32)
-                ).astype(I32), None
-
-    xs = (key.key, c_pos.T.astype(I32), c_neg.T.astype(I32))
+    xs = (key.key, ek_sh_all, c_pos.T.astype(I32), c_neg.T.astype(I32))
     acc, _ = jax.lax.scan(step, acc, xs)
     return acc.reshape(*lead, 2, L, N)

@@ -229,7 +229,8 @@ def eval_acc_rns(rt, params: RGSWParams, key: DMKey, acc, a,
                  a_mod: int | None = None) -> jnp.ndarray:
     """AP blind rotation over the RNS pair: acc [..., 2, L, N] EVAL."""
     from ..ops.rns import (
-        rns_digits_to_eval, rns_ntt_inv, rns_signed_digits)
+        rns_digits_to_eval, rns_mulsum_u32, rns_ntt_inv,
+        rns_signed_digits_u32)
 
     N = params.N
     L = len(rt.limbs)
@@ -255,21 +256,18 @@ def eval_acc_rns(rt, params: RGSWParams, key: DMKey, acc, a,
 
     key_flat = key.key.transpose(0, 2, 1, 3, 4, 5, 6).reshape(
         n * dR, baseR, dg2, 2, L, N)
-    limbs_col = jnp.asarray(
-        np.asarray(rt.limbs, np.int64)[None, None, :, None])
 
     def step(acc, xs):
         ek_row, d_t = xs       # [baseR, dg2, 2, L, N]; [B]
         ct0 = rns_ntt_inv(rt, acc)                       # [B, 2, L, N]
-        d0 = rns_signed_digits(rt, ct0[:, 0], params.base_g, dg)
-        d1 = rns_signed_digits(rt, ct0[:, 1], params.base_g, dg)
+        d0 = rns_signed_digits_u32(rt, ct0[:, 0], params.base_g, dg)
+        d1 = rns_signed_digits_u32(rt, ct0[:, 1], params.base_g, dg)
         digp = jnp.stack([d0, d1], axis=1).reshape(
             (dg2,) + d0.shape[1:])                       # [dg2, B, N]
         dct = rns_digits_to_eval(rt, digp)               # [dg2, B, L, N]
         dct = jnp.moveaxis(dct, 0, 1)                    # [B, dg2, L, N]
         ek = ek_row[d_t]                                 # [B, dg2, 2, L, N]
-        prod = (dct[:, :, None].astype(I64) * ek.astype(I64)).sum(axis=1)
-        new = (prod % limbs_col).astype(I32)             # [B, 2, L, N]
+        new = rns_mulsum_u32(rt, dct[:, :, None], ek, axis=1)
         acc = jnp.where((d_t == 0)[:, None, None, None], acc, new)
         return acc, None
 

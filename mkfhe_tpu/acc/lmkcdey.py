@@ -407,37 +407,34 @@ def key_gen_acc_rns(
 def _rns_digits_pair(rt, params, ct):
     """[B, 2, L, N] COEFF residues -> interleaved digit EVAL residues
     [B, dg2, L, N]."""
-    from ..ops.rns import rns_digits_to_eval, rns_signed_digits
+    from ..ops.rns import rns_digits_to_eval, rns_signed_digits_u32
 
     dg = params.digits_g - 1
-    d0 = rns_signed_digits(rt, ct[:, 0], params.base_g, dg)
-    d1 = rns_signed_digits(rt, ct[:, 1], params.base_g, dg)
+    d0 = rns_signed_digits_u32(rt, ct[:, 0], params.base_g, dg)
+    d1 = rns_signed_digits_u32(rt, ct[:, 1], params.base_g, dg)
     digp = jnp.stack([d0, d1], axis=1).reshape((2 * dg,) + d0.shape[1:])
     dct = rns_digits_to_eval(rt, digp)
     return jnp.moveaxis(dct, 0, 1)
 
 
 def _ext_prod_rlwe_rns(rt, params, ek, acc):
-    """ek: [B, dg2, 2, L, N]; acc: [B, 2, L, N] EVAL -> replaces acc."""
-    from ..ops.rns import rns_ntt_inv
+    """ek: [B, dg2, 2, L, N]; acc: [B, 2, L, N] EVAL -> replaces acc.
+    All-u32 contraction (r5; was emulated s64)."""
+    from ..ops.rns import rns_mulsum_u32, rns_ntt_inv
 
-    limbs_col = jnp.asarray(
-        np.asarray(rt.limbs, np.int64)[None, None, :, None])
     ct = rns_ntt_inv(rt, acc)
     dct = _rns_digits_pair(rt, params, ct)                  # [B, dg2, L, N]
-    prod = (dct[:, :, None].astype(I64) * ek.astype(I64)).sum(axis=1)
-    return (prod % limbs_col).astype(I32)
+    return rns_mulsum_u32(rt, dct[:, :, None], ek, axis=1)
 
 
 def _keyed_auto_rns(rt, params, t_val, ak, acc):
     """t_val: [B]; ak: [B, dG, 2, L, N]; acc: [B, 2, L, N]."""
     from ..ops.rns import (
-        rns_digits_to_eval, rns_ntt_inv, rns_signed_digits)
+        rns_digits_to_eval, rns_mulsum_u32, rns_ntt_inv,
+        rns_signed_digits_u32)
 
     L = len(rt.limbs)
     dg = params.digits_g - 1
-    limbs_col = jnp.asarray(
-        np.asarray(rt.limbs, np.int64)[None, None, :, None])
     limbs_row = jnp.asarray(np.asarray(rt.limbs, np.int32)[:, None])
 
     acc1 = jnp.stack(
@@ -447,11 +444,10 @@ def _keyed_auto_rns(rt, params, t_val, ak, acc):
         [automorphism_eval(rt.tables[li], acc[:, 0, li, :], t_val)
          for li in range(L)], axis=-2)
     cta = rns_ntt_inv(rt, acc0)                              # [B, L, N]
-    dct = rns_signed_digits(rt, cta, params.base_g, dg)      # [dG, B, N]
+    dct = rns_signed_digits_u32(rt, cta, params.base_g, dg)  # [dG, B, N]
     dct = rns_digits_to_eval(rt, dct)                        # [dG, B, L, N]
     dct = jnp.moveaxis(dct, 0, 1)                            # [B, dG, L, N]
-    prod = (dct[:, :, None].astype(I64) * ak.astype(I64)).sum(axis=1)
-    out = (prod % limbs_col).astype(I32)                     # [B, 2, L, N]
+    out = rns_mulsum_u32(rt, dct[:, :, None], ak, axis=1)    # [B, 2, L, N]
     s = out[:, 1] + acc1
     s = jnp.where(s >= limbs_row, s - limbs_row, s)
     return out.at[:, 1].set(s)

@@ -181,6 +181,68 @@ def garner_centered(rt: RNSTables, x):
     return jnp.where(v > rt.Q >> 1, v - rt.Q, v)
 
 
+def rns_signed_digits_u32(rt: RNSTables, x, base: int, digits: int):
+    """All-u32 form of rns_signed_digits (r5): Garner on u32 lanes with a
+    constant-companion Shoup, the wide value kept as a (hi, lo) u32 pair,
+    and the balanced digit chain run in two's-complement pair arithmetic.
+    TPU VPUs have no 64-bit lanes — the s64 form below costs ~30x per op
+    in emulation and dominated the r4 RNS step (tools/rns_probe.json).
+
+    x: [..., L, N] canonical residues -> [digits, ..., N] int32 balanced
+    digits of the CENTERED value, low digit dropped (identical outputs to
+    rns_signed_digits)."""
+    from .modmath import (
+        U32, barrett_reduce_u32, mulhi_u32, reduce_once_u32,
+        shoup_mul_lazy_u32)
+
+    assert base & (base - 1) == 0 and base <= (1 << 25)
+    q1, q2 = rt.limbs
+    Q = rt.Q
+    inv = rt.inv_q1_mod_q2
+    invsh = (inv << 32) // q2
+    x1 = x[..., 0, :].astype(U32)
+    x2 = x[..., 1, :].astype(U32)
+
+    # y = (x2 - x1) * q1^-1 mod q2
+    x1m = barrett_reduce_u32(x1, q2)
+    t = x2 + U32(q2) - x1m                       # < 2^29, congruent
+    y = reduce_once_u32(
+        shoup_mul_lazy_u32(t, U32(inv), U32(invsh), q2), q2)
+
+    # v = x1 + q1*y as a u32 (hi, lo) pair; v in [0, Q), Q < 2^56
+    # (carry from the low word: it wrapped iff lo < x1)
+    lo = x1 + y * U32(q1)
+    hi = mulhi_u32(y, U32(q1)) + (lo < x1).astype(U32)
+
+    # center: v > Q/2 -> v - Q (two's complement pair arithmetic)
+    Qh = Q >> 1
+    qh_hi, qh_lo = U32(Qh >> 32), U32(Qh & 0xFFFFFFFF)
+    q_hi, q_lo = U32(Q >> 32), U32(Q & 0xFFFFFFFF)
+    gt = (hi > qh_hi) | ((hi == qh_hi) & (lo > qh_lo))
+    borrow = (lo < q_lo).astype(U32)
+    lo = jnp.where(gt, lo - q_lo, lo)
+    hi = jnp.where(gt, hi - q_hi - borrow, hi)
+
+    half = base // 2
+    mask = U32(base - 1)
+    g = base.bit_length() - 1
+    outs = []
+    for it in range(digits + 1):                 # iteration 0 is dropped
+        r = (((lo + U32(half)) & mask).astype(I32) - half)   # [-B/2, B/2)
+        ru = r.astype(U32)
+        lo2 = lo - ru                            # wrap = 2s-complement sub
+        # borrow/carry into hi: r>=0 and lo<r -> borrow; r<0 (subtracting
+        # a negative = adding) and lo2<lo (wrapped) -> carry
+        hi = hi - ((r >= 0) & (lo < ru)).astype(U32) \
+                + ((r < 0) & (lo2 < lo)).astype(U32)
+        # (v - r) >> g, arithmetic shift in the high word
+        lo = (lo2 >> U32(g)) | (hi << U32(32 - g))
+        hi = (hi.astype(I32) >> g).astype(U32)
+        if it > 0:
+            outs.append(r.astype(I32))
+    return jnp.stack(outs, axis=0)
+
+
 def rns_signed_digits(rt: RNSTables, x, base: int, digits: int):
     """Approximate balanced decomposition of [..., L, N] residues against
     the composite Q_eff: centered lift, DROP the first digit, emit `digits`
@@ -204,6 +266,25 @@ def rns_signed_digits(rt: RNSTables, x, base: int, digits: int):
         r, d = extract(d)
         outs.append(r.astype(I32))
     return jnp.stack(outs, axis=0)     # [digits, ..., N]
+
+
+def rns_mulsum_u32(rt: RNSTables, x, y, axis: int):
+    """sum over `axis` of (x * y) mod q_l, per limb, ALL-u32 (r5).
+
+    x, y: broadcast-compatible [..., L, N] canonical residue arrays
+    (every limb < 2^28); returns int32 [..., L, N] with `axis` reduced.
+    Replaces the emulated-s64 `(x.astype(I64)*y).sum % q` pattern that
+    dominated the r4 RNS accumulators (TPU VPUs have no 64-bit lanes)."""
+    from .modmath import U32, barrett_reduce_u32, mulmod_u32
+
+    outs = []
+    for li, ql in enumerate(rt.limbs):
+        xl = x[..., li, :].astype(U32)
+        yl = y[..., li, :].astype(U32)
+        p = mulmod_u32(xl, yl, ql)            # canonical [0, ql)
+        s = p.sum(axis=axis)                  # < D*ql < 2^32 for D <= 16
+        outs.append(barrett_reduce_u32(s, ql).astype(I32))
+    return jnp.stack(outs, axis=-2)
 
 
 def rns_digits_to_eval(rt: RNSTables, dig):
