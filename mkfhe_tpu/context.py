@@ -205,6 +205,33 @@ class BinFHEContext:
             self.sampler, self.params, self.tables, sk)
         return self.nbt_key
 
+    # ------------------------------------- deserialized-key installation
+    def BTKeyLoad(self, key: "boot.RingGSWBTKey") -> None:
+        """Install deserialized bootstrapping keys
+        (binfhecontext.h:300-302)."""
+        self.bt_key = key
+        self.bt_key_map = {self.params.rgsw.base_g: key}
+
+    def NBTKeyLoad(self, key: "boot.VectorNTRUBTKey") -> None:
+        """(binfhecontext.h:303-305)."""
+        self.nbt_key = key
+
+    def BTKeyMapLoadSingleElement(self, base_g: int,
+                                  key: "boot.RingGSWBTKey") -> None:
+        """Insert one (baseG -> BTKey) map entry after deserializing
+        (binfhecontext.h:313-315)."""
+        if not hasattr(self, "bt_key_map"):
+            self.bt_key_map = {}
+        self.bt_key_map[base_g] = key
+        if base_g == self.params.rgsw.base_g:
+            self.bt_key = key
+
+    def ClearBTKeys(self) -> None:
+        """(binfhecontext.h:322-332)."""
+        self.bt_key = None
+        self.bt_key_map = {}
+        self.nbt_key = None
+
     # ----------------------------------------------------------- MK keygen
     def MNTRU_KeyGen(self):
         """k-user matrix-NTRU secret (binfhecontext.cpp:235-241)."""

@@ -54,7 +54,12 @@ def test_bt_key_roundtrip(tmp_path):
     ek2, _ = serial.load(str(p))
     np.testing.assert_array_equal(
         np.asarray(ek.bs.key), np.asarray(ek2.bs.key))
-    cc.bt_key = ek2
+    # named reference API: BTKeyLoad installs the deserialized keys
+    # (binfhecontext.h:300-318); ClearBTKeys drops them
+    cc.ClearBTKeys()
+    assert cc.bt_key is None
+    cc.BTKeyLoad(ek2)
+    cc.BTKeyMapLoadSingleElement(cc.params.rgsw.base_g, ek2)
     ct1 = cc.Encrypt(sk, np.array([1]))
     ct2 = cc.Encrypt(sk, np.array([1]))
     out = cc.EvalBinGate(BINGATE.AND, ct1, ct2)

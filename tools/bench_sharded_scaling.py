@@ -83,10 +83,25 @@ def main():
     base_t = rows[0]["sec_per_batch"]
     for r in rows:
         r["partition_overhead"] = round(r["sec_per_batch"] / base_t, 3)
+    # analytic ICI accounting (r5, VERDICT r4 task #8): the expected
+    # real-hardware communication cost of the party axis, vs the
+    # measured single-chip compute rate (BASELINE.md r4: 316 gates/s)
+    from mkfhe_tpu.parallel.sharding import ici_bytes_per_gate
+
+    ici = [ici_bytes_per_gate(cc.params, p) for p in (2,)]
+    from mkfhe_tpu.constants import BINFHE_PARAMSET as _PS
+
+    cc4 = BinFHEContext(seed=12)
+    cc4.GenerateBinFHEContext(_PS.STD100_MKNTRU_2, BINFHE_METHOD.MKNTRU)
+    ici.append(ici_bytes_per_gate(cc4.params, 4))
+    for r in ici:
+        print("ici:", json.dumps(r), flush=True)
+
     with open(os.path.join(os.path.dirname(__file__),
                            "sharded_scaling.json"), "w") as fh:
         json.dump({"note": "8-virtual-CPU mesh; devices share one CPU - "
-                           "see header docstring", "rows": rows}, fh,
+                           "see header docstring", "rows": rows,
+                   "ici_bytes_per_gate_analytic": ici}, fh,
                   indent=1)
     print("\n| devices | dp x party | gates/s | t(n)/t(1) overhead |")
     print("|---|---|---|---|")
