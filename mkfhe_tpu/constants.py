@@ -147,9 +147,14 @@ PARAM_SETS = {
     BINFHE_PARAMSET.SIGNED_MOD_TEST: ContextParams(1, 28, 2048, 512, 1024, PRIME, _STD, 25, 1 << 7, 23, 10, T),
     # 3-bit / 4-bit plaintext-space sets (binfhecontext.cpp:101-113).
     # NOTE: STD128Q_4 (numberBits=50) exceeds MAX_MODULUS_SIZE=28 of the
-    # reference's own recommended NATIVE_SIZE=32 build (basicint.h:56-61)
-    # and our int32 coefficient lanes alike; the row is kept for table
-    # parity and context creation rejects it with a clear error.
+    # reference's NATIVE_SIZE=32 build (basicint.h:56-61); it runs here
+    # on the dual-limb RNS ring (ops/rns.py) with reference anchors from
+    # the NATIVE_SIZE=64 oracle build (oracle/vectors/std128q4_64).
+    # WARNING (measured, tools/errrate_multi.json): the *_3_LMKCDEY rows
+    # run 3-input gates at ~2.4 sigma of margin — 1.5-1.7% per-gate
+    # error over 1024 random TPU trials (reference-class behavior; the
+    # reference only tests 3-input LMKCDEY at TOY). Use the GINX _3 rows
+    # (measured error-free) where that rate is unacceptable.
     BINFHE_PARAMSET.STD128_3:          ContextParams(1, 27, 2048, 541, 1024, 1 << 15, _STD, 32, 1 << 7, 32, 10, T),
     BINFHE_PARAMSET.STD128_3_LMKCDEY:  ContextParams(1, 28, 2048, 485, 1024, 1 << 15, _STD, 32, 1 << 10, 32, 10, G),
     BINFHE_PARAMSET.STD128Q_3_LMKCDEY: ContextParams(1, 27, 2048, 524, 1024, 1 << 15, _STD, 32, 1 << 9, 32, 10, G),

@@ -335,7 +335,12 @@ class BinFHEContext:
         the inputs' plaintext modulus (the reference reads it off the
         ciphertexts' ptModulus: 6 for 3-input, 8 for 4-input gates); when
         not given it is inferred from the gate so a forgotten p cannot
-        silently produce wrong outputs."""
+        silently produce wrong outputs.
+
+        MARGIN WARNING: 3-input gates on the *_3_LMKCDEY parameter rows
+        measure 1.5-1.7% per-gate error (~2.4 sigma margin, 1024 TPU
+        trials — tools/errrate_multi.json); the GINX *_3 rows measure
+        error-free. See the note in constants.PARAM_SETS."""
         if p is None:
             # MAJORITY runs at p=4 (UnitTestFHEW.cpp:222: 3 inputs,
             # ptmodulus 4 — distinguishing sum<2 from sum>=2 fits the

@@ -36,9 +36,12 @@ def test_new_rows_match_reference_table():
 
 def test_over_28bit_sets_resolve_to_rns_limbs():
     """numberBits > 28 (the reference's NATIVE_SIZE=64 territory) resolves
-    to a dual-limb RNS modulus q1*q2 >= 2^numberBits with both limbs NTT
-    friendly (r4; was a clean rejection through r3). Non-GINX methods at
-    these sets still reject clearly."""
+    to a dual-limb RNS modulus with both limbs NTT friendly (r4; was a
+    clean rejection through r3). r5: the composite sits just BELOW
+    2^numberBits, matching the reference's PreviousPrime(FirstPrime(nb))
+    choice so derived digit counts agree with the NATIVE_SIZE=64 build
+    (tests/test_ext64_oracle.py). Non-GINX methods at these sets still
+    reject clearly."""
     from mkfhe_tpu.constants import PARAM_SETS
     from mkfhe_tpu.params import build_params
 
@@ -48,7 +51,9 @@ def test_over_28bit_sets_resolve_to_rns_limbs():
         params = build_params(BINFHE_PARAMSET[name], BINFHE_METHOD.GINX)
         q1, q2 = params.rgsw.limbs
         assert q1 != q2
-        assert q1 * q2 == params.rgsw.Q >= (1 << p.number_bits)
+        assert q1 * q2 == params.rgsw.Q
+        assert (1 << (p.number_bits - 1)) < params.rgsw.Q \
+            < (1 << p.number_bits)
         m = p.cycl_order
         assert q1 % m == 1 and q2 % m == 1
         assert max(q1, q2) < (1 << 28)

@@ -26,29 +26,39 @@ def main():
 
     rows = []
 
-    # ---- STD128Q_4 (50-bit) NAND
+    # ---- STD128Q_4 (50-bit) NAND, batch ladder (r5: all-u32 step +
+    # minimal composite with reference-parity digits_g)
     cc = BinFHEContext(seed=9)
     cc.GenerateBinFHEContext(BINFHE_PARAMSET.STD128Q_4, BINFHE_METHOD.GINX)
     sk = cc.KeyGen()
     cc.BTKeyGen(sk)
-    batch = 16
-    m1 = np.resize(np.array([0, 0, 1, 1]), batch)
-    m2 = np.resize(np.array([0, 1, 0, 1]), batch)
-    t0 = time.perf_counter()
-    out = cc.EvalBinGate(BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
-    warm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = cc.EvalBinGate(BINGATE.NAND, cc.Encrypt(sk, m1), cc.Encrypt(sk, m2))
-    dt = time.perf_counter() - t0
-    res = np.asarray(cc.Decrypt(sk, out))
-    rows.append({
-        "probe": "STD128Q_4_nand", "batch": batch,
-        "limbs": list(cc.params.rgsw.limbs),
-        "gates_per_sec": round(batch / dt, 2),
-        "sec_warm_incl_compile": round(warm, 1),
-        "correct": bool(np.array_equal(res, 1 - (m1 & m2))),
-    })
-    print(json.dumps(rows[-1]), flush=True)
+    for batch in (16, 64, 256):
+        m1 = np.resize(np.array([0, 0, 1, 1]), batch)
+        m2 = np.resize(np.array([0, 1, 0, 1]), batch)
+        cts = [(cc.Encrypt(sk, np.roll(m1, r)), cc.Encrypt(sk, m2))
+               for r in range(3)]
+        t0 = time.perf_counter()
+        out = cc.EvalBinGate(BINGATE.NAND, *cts[0])
+        _ = int(np.asarray(out.b.ravel()[0]))       # tunnel-safe sync
+        warm = time.perf_counter() - t0
+        times = []
+        for r in (1, 2):
+            t0 = time.perf_counter()
+            out = cc.EvalBinGate(BINGATE.NAND, *cts[r])
+            _ = int(np.asarray(out.b.ravel()[0]))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        res = np.asarray(cc.Decrypt(sk, out))
+        rows.append({
+            "probe": "STD128Q_4_nand", "batch": batch,
+            "limbs": list(cc.params.rgsw.limbs),
+            "digits_g": cc.params.rgsw.digits_g,
+            "gates_per_sec": round(batch / dt, 2),
+            "sec_warm_incl_compile": round(warm, 1),
+            "rep_times_sec": [round(t, 3) for t in times],
+            "correct": bool(np.array_equal(res, 1 - (np.roll(m1, 2) & m2))),
+        })
+        print(json.dumps(rows[-1]), flush=True)
     jax.clear_caches()
 
     # ---- large-precision EvalSign (logQprime=54, qKS=2^35)
