@@ -43,12 +43,17 @@ class CGGIKey(NamedTuple):
     (ops.ntt.get_folded_tables, r5). Carried in the key pytree so they
     enter jitted gate graphs as ARGUMENTS — embedding the ~24 MB tables
     as HLO constants blows the remote-compile request size at large
-    batch (r5 multilaunch probe, HTTP 413)."""
+    batch (r5 multilaunch probe, HTTP 413).
+
+    vi4 / vf4: 4-step block planes [G, na, nw, 128, 128] s8
+    (ops.ntt.get_ntt4_tables) — the default transform path; ~4 MB."""
 
     key: jnp.ndarray
     key_sh: jnp.ndarray | None = None
     winv_f: jnp.ndarray | None = None
     wfwd_f: jnp.ndarray | None = None
+    vi4: jnp.ndarray | None = None
+    vf4: jnp.ndarray | None = None
 
 
 def key_gen_acc(
@@ -104,10 +109,18 @@ def key_gen_acc(
     from ..ops.ntt import get_folded_tables
 
     winv_f, wfwd_f = get_folded_tables(tables, params.base_g)
+    from ..ops.ntt import get_ntt4_tables, ntt4_supported
+
+    vi4 = vf4 = None
+    if ntt4_supported(N):
+        t4 = get_ntt4_tables(tables)
+        vi4 = jnp.asarray(t4["vi_planes"])
+        vf4 = jnp.asarray(t4["vf_planes"])
     return CGGIKey(
         key=jnp.asarray(key, I32),
         key_sh=jnp.asarray(key_sh.astype(np.uint32)),
-        winv_f=jnp.asarray(winv_f), wfwd_f=jnp.asarray(wfwd_f))
+        winv_f=jnp.asarray(winv_f), wfwd_f=jnp.asarray(wfwd_f),
+        vi4=vi4, vf4=vf4)
 
 
 @partial(jax.jit, static_argnames=("params", "a_mod"))
@@ -142,7 +155,8 @@ def eval_acc(
         out = fused.cggi_scan_fused(
             tables, params, key.key, acc,
             c_pos.astype(I32), c_neg.astype(I32), key_sh=key.key_sh,
-            winv_f=key.winv_f, wfwd_f=key.wfwd_f)
+            winv_f=key.winv_f, wfwd_f=key.wfwd_f,
+            vi4=key.vi4, vf4=key.vf4)
         return out.reshape(*lead, 2, N)
 
     def step(acc, xs):

@@ -28,7 +28,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .modmath import (
-    I32, U32, barrett_reduce_u32, mulmod_u32, shoup_mul_lazy_u32)
+    I32, U32, barrett_reduce_u32, mulmod_u32, reduce_once_u32,
+    shoup_mul_lazy_u32)
 from . import ntt as nttm
 
 # ------------------------------------------------------------------ config
@@ -95,6 +96,26 @@ def set_cggi_interleave(on: bool) -> None:
 # (CGGI); the N=2048 XZW tables (~96 MB) get their own switch.
 _CGGI_FOLDED = True
 _XZW_FOLDED = False
+
+# r5: 4-step factorized transforms (ops.ntt.get_ntt4_tables) — cross-tile
+# scalar-twiddle butterflies + per-128-tile folded s8 block matmuls. Cuts
+# transform MACs N/128-fold (8x at N=1024, 16x at N=2048) at identical
+# bit-exact output; see tools/ntt4_probe.json for the measured A/B.
+_CGGI_4STEP = True
+_XZW_4STEP = True
+
+
+def set_4step(cggi: bool | None = None, xzw: bool | None = None) -> None:
+    global _CGGI_4STEP, _XZW_4STEP
+    changed = False
+    if cggi is not None and cggi != _CGGI_4STEP:
+        _CGGI_4STEP = cggi
+        changed = True
+    if xzw is not None and xzw != _XZW_4STEP:
+        _XZW_4STEP = xzw
+        changed = True
+    if changed:
+        jax.clear_caches()
 
 
 def set_folded(cggi: bool | None = None, xzw: bool | None = None) -> None:
@@ -231,6 +252,88 @@ def _digits_transform_s8(dsh_u32, wf_ref, shift_row_u32, Q: int,
                       raw_shift_max=d1_max)
 
 
+# ---------------------------------------------- 4-step factorized transform
+#
+# In-kernel form of ops.ntt.get_ntt4_tables: cross-tile butterfly stages
+# with SCALAR twiddles (compile-time python ints -> no table loads) + per
+# 128-tile folded s8 block matmuls at full MXU utilization. MACs per
+# element drop N/128-fold vs the direct _transform_s8; the butterflies
+# cost ~8 VPU ops/element/stage on canonical u32 values.
+
+
+def _stageA_fwd_u32(x, Q: int, fwd_tw):
+    """Cross-tile CT stages (m, t, ws, wshs): canonical u32 in/out."""
+    for (m, t, ws, wshs) in fwd_tw:
+        parts = []
+        for b in range(m):
+            u = x[:, (2 * b) * t:(2 * b) * t + t]
+            v = x[:, (2 * b + 1) * t:(2 * b + 1) * t + t]
+            wv = reduce_once_u32(
+                shoup_mul_lazy_u32(v, U32(ws[b]), U32(wshs[b]), Q), Q)
+            parts.append(reduce_once_u32(u + wv, Q))
+            parts.append(reduce_once_u32(u + (U32(Q) - wv), Q))
+        x = jnp.concatenate(parts, axis=1)
+    return x
+
+
+def _stageA_inv_u32(x, Q: int, inv_tw):
+    """Cross-tile GS stages (h, t, ws, wshs): canonical u32 in/out."""
+    for (h, t, ws, wshs) in inv_tw:
+        parts = []
+        for b in range(h):
+            u = x[:, (2 * b) * t:(2 * b) * t + t]
+            v = x[:, (2 * b + 1) * t:(2 * b + 1) * t + t]
+            parts.append(reduce_once_u32(u + v, Q))
+            d = u + (U32(Q) - v)          # [0, 2Q): fine as Shoup x
+            parts.append(reduce_once_u32(
+                shoup_mul_lazy_u32(d, U32(ws[b]), U32(wshs[b]), Q), Q))
+        x = jnp.concatenate(parts, axis=1)
+    return x
+
+
+def _stageB_s8(y_u32, v_ref, Q: int, n_limbs: int, lazy: bool = False):
+    """Per-tile folded block matmuls: y [R, N] u32 canonical ->
+    [R, N] ([0, Q) or lazy congruent). v_ref: [G, na, nw, 128, 128] s8
+    (plane (r, la, lw) = limb lw of 2^(7 la) * V_r mod Q)."""
+    G = v_ref.shape[0]
+    nw = v_ref.shape[2]
+    # s=1 partial bound: K=128 contraction of 7-bit x 7-bit products
+    d1_max = n_limbs * 128 * 127 * 127
+    outs = []
+    for r in range(G):
+        yr = y_u32[:, r * 128:(r + 1) * 128]
+        diag = {}
+        for la, yl in enumerate(_limbs_s8(yr, n_limbs)):
+            for lw in range(nw):
+                part = jax.lax.dot_general(
+                    yl, v_ref[np.int32(r), np.int32(la), np.int32(lw)],
+                    (((1,), (0,)), ((), ())), preferred_element_type=I32)
+                diag[lw] = part if lw not in diag else diag[lw] + part
+        outs.append(_recombine(diag, Q, lazy=lazy, raw_shift_max=d1_max))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _transform4_inv(x_u32, vi_ref, Q: int, n_limbs: int, inv_tw):
+    """EVAL -> COEFF, canonical: block matmuls then cross-tile GS."""
+    return _stageA_inv_u32(
+        _stageB_s8(x_u32, vi_ref, Q, n_limbs), Q, inv_tw)
+
+
+def _digits4_fwd(dsh_u32, vf_ref, shift_row_u32, Q: int, fwd_tw,
+                 lazy: bool = False):
+    """Forward NTT of SHIFTED digits: cross-tile CT stages (input values
+    < base stay canonical) then block matmuls; the constant-shift image
+    is added on the full [R, N] result (a per-tile sliced broadcast of
+    the [1, N] row trips a Mosaic layout check). Stage-A output is
+    full-width, so stage B always uses the full limb count."""
+    n_limbs = vf_ref.shape[1]
+    y = _stageA_fwd_u32(dsh_u32, Q, fwd_tw)
+    out = _stageB_s8(y, vf_ref, Q, n_limbs, lazy=True)
+    # lazy bound: stage-B sum < 2^31 plus one row < Q stays in u32
+    out = out + jnp.broadcast_to(shift_row_u32, dsh_u32.shape)
+    return out if lazy else barrett_reduce_u32(out, Q)
+
+
 def _signed_digits(a_u32, Q: int, base: int, digits: int):
     """Balanced digits of a in [0, Q), low digit dropped — the i32 port of
     ops.decompose.signed_digit_decompose. Returns `digits` arrays of
@@ -326,10 +429,23 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
                  winv_ref, wfwd_ref, shift_ref, hi_ref, lo_ref, losh_ref,
                  hish_ref, out_ref, ek_buf, eksh_buf, sems,
                  *, Q: int, base_g: int, dg: int, n_steps: int,
-                 n_limbs_q: int):
+                 n_limbs_q: int, tw_inv=None, tw_fwd=None):
     BT = acc_ref.shape[0]
     N = acc_ref.shape[2]
     dg2 = 2 * dg
+
+    # transform dispatch: 5-D weight refs = 4-step block planes
+    def intt(rows):
+        if len(winv_ref.shape) == 5:
+            return _transform4_inv(rows, winv_ref, Q, n_limbs_q, tw_inv)
+        return _transform_s8(rows, winv_ref, Q, n_limbs_q)
+
+    def fwd_digits(rows, shift_u32, lazy=True):
+        if len(wfwd_ref.shape) == 5:
+            return _digits4_fwd(rows, wfwd_ref, shift_u32, Q, tw_fwd,
+                                lazy=lazy)
+        return _digits_transform_s8(rows, wfwd_ref, shift_u32, Q, base_g,
+                                    lazy=lazy)
 
     def dmas(i, slot):
         i = jnp.asarray(i, I32)
@@ -366,9 +482,7 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
 
         # INTT both RLWE components at once (canonical [0, Q) — the digit
         # extraction below needs exact values)
-        coeff = _transform_s8(
-            acc.reshape(BT * 2, N), winv_ref, Q, n_limbs_q
-        ).reshape(BT, 2, N)
+        coeff = intt(acc.reshape(BT * 2, N)).reshape(BT, 2, N)
 
         # balanced digits, interleaved (d2 = 2*d + component,
         # rgsw-acc.cpp:37-49), shifted to [0, base)
@@ -399,8 +513,7 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
             sums = {}
             for d2 in range(dg2):
                 row = dsh[d2 * BT:(d2 + 1) * BT]
-                dct_d = _digits_transform_s8(
-                    row, wfwd_ref, shift_u32, Q, base_g, lazy=True)
+                dct_d = fwd_digits(row, shift_u32, lazy=True)
                 for t in range(2):
                     for c in range(2):
                         term = shoup_mul_lazy_u32(
@@ -416,9 +529,9 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
         else:
             # LAZY digit NTT: values < (2D+1)*Q, congruent mod Q — fine
             # as the arbitrary-u32 x of the Shoup contraction below
-            dct = _digits_transform_s8(
-                dsh, wfwd_ref, shift_ref[...].astype(U32), Q, base_g,
-                lazy=True).reshape(dg2, BT, N)
+            dct = fwd_digits(
+                dsh, shift_ref[...].astype(U32), lazy=True
+            ).reshape(dg2, BT, N)
 
             def contract(t, c):
                 s = None
@@ -452,14 +565,16 @@ def _cggi_kernel(acc_ref, ek_hbm, eksh_hbm, cpos_ref, cneg_ref,
 
 @partial(jax.jit, static_argnames=("params",))
 def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
-                    key_sh=None, winv_f=None, wfwd_f=None):
+                    key_sh=None, winv_f=None, wfwd_f=None,
+                    vi4=None, vf4=None):
     """Full GINX blind rotation in one pallas_call.
 
     key_arr: [n, 2, dg2, 2, N] i32; acc: [B, 2, N] i32 EVAL;
     c_pos/c_neg: [B, n] i32 rotation indices in [0, 2N).
-    winv_f/wfwd_f: folded weight planes passed as runtime args (from
-    CGGIKey; the in-trace constant fallback below is for raw test keys —
-    large constants overflow the remote-compile request at big batch).
+    winv_f/wfwd_f: folded weight planes, vi4/vf4: 4-step block planes —
+    passed as runtime args (from CGGIKey; the in-trace constant fallback
+    below is for raw test keys — large constants overflow the
+    remote-compile request at big batch).
     Returns [B, 2, N] i32 EVAL — bit-equal to the lax.scan path.
     """
     Q, N = params.Q, params.N
@@ -476,7 +591,16 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
     n_limbs_q = -(-(Q - 1).bit_length() // 7)
 
     mxu = nttm.get_mxu_tables(tables)
-    if _CGGI_FOLDED:
+    tw_inv = tw_fwd = None
+    if _CGGI_4STEP and nttm.ntt4_supported(N):
+        t4 = nttm.get_ntt4_tables(tables)
+        tw_inv, tw_fwd = t4["inv_tw"], t4["fwd_tw"]
+        if vi4 is not None and vf4 is not None:
+            winv, wfwd = vi4, vf4
+        else:
+            winv = jnp.asarray(t4["vi_planes"])
+            wfwd = jnp.asarray(t4["vf_planes"])
+    elif _CGGI_FOLDED:
         if winv_f is not None and wfwd_f is not None:
             winv, wfwd = winv_f, wfwd_f
         else:
@@ -513,7 +637,8 @@ def cggi_scan_fused(tables, params, key_arr, acc, c_pos, c_neg,
     grid = (Bp // BT,)
     kernel = partial(
         _cggi_kernel, Q=Q, base_g=params.base_g, dg=dg,
-        n_steps=n_steps, n_limbs_q=n_limbs_q)
+        n_steps=n_steps, n_limbs_q=n_limbs_q, tw_inv=tw_inv,
+        tw_fwd=tw_fwd)
 
     # Trace the kernel with x64 OFF: under the package-wide x64 mode,
     # python-int literals/loop counters trace as int64, and Mosaic has no
@@ -579,7 +704,8 @@ def _xzw_kernel(acc_ref, ek_hbm, eksh_hbm, c_ref,
                 hi_ref, lo_ref, losh_ref, hish_ref,
                 out_ref, ek_buf, eksh_buf, sems,
                 *, Q: int, base_g: int, dG: int, n_steps: int,
-                n_limbs_q: int, k: int, n_per_user: int, binary: bool):
+                n_limbs_q: int, k: int, n_per_user: int, binary: bool,
+                tw_inv=None, tw_fwd=None):
     """Steps 1..k*n-1 of UniEnc EvalAcc (mk-acc-xzw.cpp:89-130; HbProd
     :231-290), congruence-exact to the scan path in acc/xzw.py (same
     canonical [0, Q) outputs).
@@ -594,6 +720,19 @@ def _xzw_kernel(acc_ref, ek_hbm, eksh_hbm, c_ref,
     BT = acc_ref.shape[0]
     N = acc_ref.shape[2]
     nb = 1 if binary else 2
+
+    # transform dispatch: 5-D weight refs = 4-step block planes
+    def intt(rows):
+        if len(winv_ref.shape) == 5:
+            return _transform4_inv(rows, winv_ref, Q, n_limbs_q, tw_inv)
+        return _transform_s8(rows, winv_ref, Q, n_limbs_q)
+
+    def fwd_digits(rows, shift_u32, lazy=True):
+        if len(wfwd_ref.shape) == 5:
+            return _digits4_fwd(rows, wfwd_ref, shift_u32, Q, tw_fwd,
+                                lazy=lazy)
+        return _digits_transform_s8(rows, wfwd_ref, shift_u32, Q, base_g,
+                                    lazy=lazy)
 
     def dmas(i, slot):
         i = jnp.asarray(i, I32)
@@ -654,13 +793,11 @@ def _xzw_kernel(acc_ref, ek_hbm, eksh_hbm, c_ref,
         acctemp = barrett_reduce_u32(t + (U32(2 * Q) - acc), Q)
 
         # HbProd: INTT (canonical) -> digits -> fwd NTT (lazy)
-        coeff = _transform_s8(
-            acctemp.reshape(BT * k, N), winv_ref, Q, n_limbs_q)
+        coeff = intt(acctemp.reshape(BT * k, N))
         digs = _signed_digits(coeff, Q, base_g, dG)
         dsh = jnp.concatenate(digs, axis=0)                 # [dG*BT*k, N]
-        dct = _digits_transform_s8(
-            dsh, wfwd_ref, shift_row, Q, base_g, lazy=True
-        ).reshape(dG, BT, k, N)
+        dct = fwd_digits(dsh, shift_row, lazy=True
+                         ).reshape(dG, BT, k, N)
 
         # A/B contractions over the streamed key (+ pkey for v)
         def contract(rows, comp, branch):
@@ -697,12 +834,11 @@ def _xzw_kernel(acc_ref, ek_hbm, eksh_hbm, c_ref,
             sum_v = sum_v + v[:, u]
         sum_v = barrett_reduce_u32(sum_v, Q)                # [BT, N]
 
-        coeff2 = _transform_s8(sum_v, winv_ref, Q, n_limbs_q)
+        coeff2 = intt(sum_v)
         digs2 = _signed_digits(coeff2, Q, base_g, dG)
         dsh2 = jnp.concatenate(digs2, axis=0)               # [dG*BT, N]
-        dct2 = _digits_transform_s8(
-            dsh2, wfwd_ref, shift_row, Q, base_g, lazy=True
-        ).reshape(dG, BT, N)
+        dct2 = fwd_digits(dsh2, shift_row, lazy=True
+                          ).reshape(dG, BT, N)
 
         A1 = contract(dct2, 1, 0)                           # [BT, N]
         if binary:
@@ -750,7 +886,15 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary,
     n_limbs_q = -(-(Q - 1).bit_length() // 7)
 
     mxu = nttm.get_mxu_tables(tables)
-    if _XZW_FOLDED:
+    tw_inv = tw_fwd = None
+    if _XZW_4STEP and nttm.ntt4_supported(N):
+        t4 = nttm.get_ntt4_tables(tables)
+        tw_inv, tw_fwd = t4["inv_tw"], t4["fwd_tw"]
+        # [G, na, nw, 128, 128] block planes: ~4 MB at N=2048 — small
+        # enough to ride as in-trace constants (the direct tables were 16)
+        winv = jnp.asarray(t4["vi_planes"])
+        wfwd = jnp.asarray(t4["vf_planes"])
+    elif _XZW_FOLDED:
         winv_np, wfwd_np = nttm.get_folded_tables(tables, params.base_g)
         winv, wfwd = jnp.asarray(winv_np), jnp.asarray(wfwd_np)
     else:
@@ -782,7 +926,8 @@ def xzw_scan_fused(tables, params, ek_steps, pkey, acc, c_steps, binary,
 
     kernel = partial(
         _xzw_kernel, Q=Q, base_g=params.base_g, dG=dG, n_steps=S,
-        n_limbs_q=n_limbs_q, k=k, n_per_user=n_per_user, binary=binary)
+        n_limbs_q=n_limbs_q, k=k, n_per_user=n_per_user, binary=binary,
+        tw_inv=tw_inv, tw_fwd=tw_fwd)
 
     scratch = [
         pltpu.VMEM((2, nb, dG, 2, N), I32),   # ek double buffer

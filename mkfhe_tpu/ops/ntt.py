@@ -295,6 +295,8 @@ def ntt_fwd(tables: NTTTables, a):
     if _DEFAULT_IMPL == "mxu":
         return ntt_fwd_mxu(tables, get_mxu_tables(tables), a)
     if _DEFAULT_IMPL == "mxu_s8":
+        if _use_ntt4_xla(tables.N):
+            return _ntt4_fwd_xla(tables, a)
         return _mxu_transform_s8(
             a, get_mxu_tables(tables).W_fwd_s8, tables.Q)
     return _ntt_fwd(a, tables.psi_brv, tables.N, tables.Q)
@@ -305,6 +307,8 @@ def ntt_inv(tables: NTTTables, a):
     if _DEFAULT_IMPL == "mxu":
         return ntt_inv_mxu(tables, get_mxu_tables(tables), a)
     if _DEFAULT_IMPL == "mxu_s8":
+        if _use_ntt4_xla(tables.N):
+            return _ntt4_inv_xla(tables, a)
         return _mxu_transform_s8(
             a, get_mxu_tables(tables).W_inv_s8, tables.Q)
     return _ntt_inv(a, tables.ipsi_brv, tables.N, tables.Q, tables.n_inv)
@@ -562,6 +566,284 @@ def get_folded_tables(tables: "NTTTables", base_g: int):
     return out
 
 
+# --------------------------------------------- 4-step factorized transform
+
+_NTT4_CACHE: dict = {}
+
+
+def ntt4_supported(N: int) -> bool:
+    return N >= 256 and N % 128 == 0 and (N // 128) & (N // 128 - 1) == 0
+
+
+def get_ntt4_tables(tables: "NTTTables"):
+    """Block-factorized NTT tables (the r5 MAC-cutting lever, PLAN.md
+    'Perf frontier' #1).
+
+    For N = G*128 the standard CT forward butterfly network splits at
+    stage boundary G: the first g = log2(G) stages mix 128-aligned lane
+    tiles with ONE scalar twiddle per block pair (psi_brv[m:2m],
+    transformnat-impl.h:197-238 loop structure), and every later stage is
+    local to a 128-tile — so stages g.. compose into G dense 128x128
+    matrices V_r, one per tile. Likewise the GS inverse runs its
+    block-local stages first (pair distance < 128) and its last g stages
+    cross-tile with scalar twiddles; N^-1 folds into the block matrices.
+
+    MXU cost per element drops from N to 128 MACs per limb pass (8x at
+    N=1024, 16x at N=2048) while the butterfly stages cost ~8 VPU
+    ops/element/stage; the 128x128 MXU matmuls run at full utilization
+    (K = lane tile, no padding). EVAL slot order is IDENTICAL to the
+    direct path (the factorization reproduces the same dense W exactly —
+    verified at build on random vectors), so keys, monomial tables and
+    oracle bit-exactness are untouched.
+
+    Returns a dict with:
+      G, g:       tile count / stage count
+      vi_planes:  [G, na, nw, 128, 128] int8 — input-limb-FOLDED planes
+                  of the inverse block matrices (plane (r, la, lw) = limb
+                  lw of 2^(7 la) * Vi_r mod Q), n_inv folded in
+      vf_planes:  same for the forward block matrices
+      inv_tw:     tuple of GS stages (h, t, ws, wshs) — python-int
+                  scalar twiddles + u32 Shoup companions
+      fwd_tw:     tuple of CT stages (m, t, ws, wshs)
+    """
+    N, Q = tables.N, tables.Q
+    key = (N, Q)
+    hit = _NTT4_CACHE.get(key)
+    if hit is not None:
+        return hit
+    assert ntt4_supported(N), f"N={N} not factorizable as pow2*128"
+    G = N // 128
+    host = _host_tables(N, Q)
+    psi_brv = np.asarray(host.psi_brv, np.int64)
+    ipsi_brv = np.asarray(host.ipsi_brv, np.int64)
+
+    # ---- forward: cross-tile CT stages m = 1..G/2 (scalar twiddles)
+    fwd_tw = []
+    m = 1
+    while m < G:
+        t = N // (2 * m)
+        ws = [int(psi_brv[m + b]) for b in range(m)]
+        fwd_tw.append((m, t, tuple(ws),
+                       tuple((w << 32) // Q for w in ws)))
+        m *= 2
+
+    # ---- forward block matrices: stages m = G.. applied tile-locally
+    def fwd_rest(x):
+        xx = x.astype(np.int64).copy()
+        mm = G
+        tt = N // (2 * G)
+        while mm < N:
+            xx = xx.reshape(-1, mm, 2, tt)
+            w = psi_brv[mm:2 * mm].reshape(1, mm, 1)
+            u = xx[:, :, 0, :]
+            v = xx[:, :, 1, :] * w % Q
+            xx = np.stack([(u + v) % Q, (u - v) % Q], axis=2)
+            mm *= 2
+            tt //= 2
+        return xx.reshape(-1, N)
+
+    Vf = np.empty((G, 128, 128), np.int64)
+    for r in range(G):
+        E = np.zeros((128, N), np.int64)
+        E[np.arange(128), r * 128 + np.arange(128)] = 1
+        img = fwd_rest(E)
+        Vf[r] = img[:, r * 128:(r + 1) * 128]
+
+    # ---- inverse: tile-local GS stages first -> block matrices (n_inv in)
+    def inv_local(x):
+        xx = x.astype(np.int64).copy()
+        tt = 1
+        mm = N
+        while mm > G:
+            h = mm // 2
+            xx = xx.reshape(-1, h, 2, tt)
+            w = ipsi_brv[h:2 * h].reshape(1, h, 1)
+            u = xx[:, :, 0, :]
+            v = xx[:, :, 1, :]
+            xx = np.stack([(u + v) % Q, (u - v) * w % Q], axis=2)
+            tt *= 2
+            mm = h
+        return xx.reshape(-1, N)
+
+    Vi = np.empty((G, 128, 128), np.int64)
+    for r in range(G):
+        E = np.zeros((128, N), np.int64)
+        E[np.arange(128), r * 128 + np.arange(128)] = 1
+        img = inv_local(E)
+        Vi[r] = img[:, r * 128:(r + 1) * 128] * host.n_inv % Q
+
+    # ---- inverse cross-tile GS stages m = G..2 (scalar twiddles)
+    inv_tw = []
+    m = G
+    while m > 1:
+        h = m // 2
+        t = N // m
+        ws = [int(ipsi_brv[h + b]) for b in range(h)]
+        inv_tw.append((h, t, tuple(ws),
+                       tuple((w << 32) // Q for w in ws)))
+        m = h
+
+    # ---- verify the factorization reproduces the dense transforms
+    rng = np.random.default_rng(12345)
+    a = rng.integers(0, Q, (2, N))
+    ref_f = np.stack(
+        [_np_ntt_fwd_1(row, psi_brv, N, Q) for row in a])
+    y = a.astype(np.int64).copy()
+    for (mm, tt, ws, _) in fwd_tw:
+        y = y.reshape(-1, mm, 2, tt)
+        w = np.asarray(ws, np.int64).reshape(1, mm, 1)
+        u, v = y[:, :, 0, :], y[:, :, 1, :] * w % Q
+        y = np.stack([(u + v) % Q, (u - v) % Q], axis=2)
+    y = y.reshape(-1, N)
+    got_f = np.concatenate(
+        [y[:, r * 128:(r + 1) * 128] @ Vf[r] % Q for r in range(G)], axis=1)
+    assert np.array_equal(got_f, ref_f), "ntt4 forward factorization broken"
+    X = rng.integers(0, Q, (2, N))
+    ref_i = np.stack(
+        [_np_ntt_inv_1(row, ipsi_brv, N, Q, host.n_inv) for row in X])
+    yi = np.concatenate(
+        [X[:, r * 128:(r + 1) * 128] @ Vi[r] % Q for r in range(G)], axis=1)
+    for (h, tt, ws, _) in inv_tw:
+        yi = yi.reshape(-1, h, 2, tt)
+        w = np.asarray(ws, np.int64).reshape(1, h, 1)
+        u, v = yi[:, :, 0, :], yi[:, :, 1, :]
+        yi = np.stack([(u + v) % Q, (u - v) * w % Q], axis=2)
+    yi = yi.reshape(-1, N)
+    assert np.array_equal(yi, ref_i), "ntt4 inverse factorization broken"
+
+    # ---- input-limb-folded int8 planes (get_folded_tables trick per tile)
+    q_bits = (Q - 1).bit_length()
+    na = -(-q_bits // 7)
+
+    def fold_blocks(V):
+        planes = np.empty((G, na, na, 128, 128), np.int8)
+        for r in range(G):
+            for la in range(na):
+                Vla = (V[r] * pow(2, 7 * la, Q)) % Q
+                for lw in range(na):
+                    planes[r, la, lw] = ((Vla >> (lw * 7)) & 127).astype(
+                        np.int8)
+        return planes
+
+    out = {
+        "G": G, "g": G.bit_length() - 1,
+        "vi_planes": fold_blocks(Vi),
+        "vf_planes": fold_blocks(Vf),
+        "inv_tw": tuple(inv_tw),
+        "fwd_tw": tuple(fwd_tw),
+    }
+    _NTT4_CACHE[key] = out
+    return out
+
+
+# ---- XLA-level 4-step transforms (the non-Pallas scan paths: RNS big-Q,
+# raw ntt_fwd/ntt_inv device calls). Same factorization as the fused
+# kernels use in-kernel; bit-identical outputs to _mxu_transform_s8.
+
+_NTT4_XLA = True
+
+
+def set_ntt4_xla(on: bool) -> None:
+    global _NTT4_XLA
+    if on != _NTT4_XLA:
+        jax.clear_caches()
+    _NTT4_XLA = on
+
+
+def _t4_stages_fwd(x_u32, Q: int, fwd_tw):
+    from .modmath import U32, reduce_once_u32, shoup_mul_lazy_u32
+
+    for (m, t, ws, wshs) in fwd_tw:
+        parts = []
+        for b in range(m):
+            u = x_u32[:, (2 * b) * t:(2 * b) * t + t]
+            v = x_u32[:, (2 * b + 1) * t:(2 * b + 1) * t + t]
+            wv = reduce_once_u32(
+                shoup_mul_lazy_u32(v, U32(ws[b]), U32(wshs[b]), Q), Q)
+            parts.append(reduce_once_u32(u + wv, Q))
+            parts.append(reduce_once_u32(u + (U32(Q) - wv), Q))
+        x_u32 = jnp.concatenate(parts, axis=1)
+    return x_u32
+
+
+def _t4_stages_inv(x_u32, Q: int, inv_tw):
+    from .modmath import U32, reduce_once_u32, shoup_mul_lazy_u32
+
+    for (h, t, ws, wshs) in inv_tw:
+        parts = []
+        for b in range(h):
+            u = x_u32[:, (2 * b) * t:(2 * b) * t + t]
+            v = x_u32[:, (2 * b + 1) * t:(2 * b + 1) * t + t]
+            parts.append(reduce_once_u32(u + v, Q))
+            d = u + (U32(Q) - v)
+            parts.append(reduce_once_u32(
+                shoup_mul_lazy_u32(d, U32(ws[b]), U32(wshs[b]), Q), Q))
+        x_u32 = jnp.concatenate(parts, axis=1)
+    return x_u32
+
+
+def _t4_stageB_xla(y_u32, planes, Q: int, extra_row=None):
+    from .modmath import U32
+
+    G, n_in, nw = planes.shape[0], planes.shape[1], planes.shape[2]
+    outs = []
+    for r in range(G):
+        yr = y_u32[:, r * 128:(r + 1) * 128]
+        diag = {}
+        for la in range(n_in):
+            yl = ((yr >> U32(7 * la)) & U32(127)).astype(I32).astype(
+                jnp.int8)
+            for lw in range(nw):
+                part = jax.lax.dot_general(
+                    yl, planes[r, la, lw], (((1,), (0,)), ((), ())),
+                    preferred_element_type=I32)
+                diag[lw] = part if lw not in diag else diag[lw] + part
+        ex = (None if extra_row is None
+              else extra_row[:, r * 128:(r + 1) * 128])
+        outs.append(_recombine_diagonals_u32(diag, Q, extra=ex))
+    return jnp.concatenate(outs, axis=1)
+
+
+def _ntt4_fwd_xla(tables: "NTTTables", a):
+    t4 = get_ntt4_tables(tables)
+    Q = tables.Q
+    lead, N = a.shape[:-1], a.shape[-1]
+    x = a.reshape(-1, N).astype(jnp.uint32)
+    y = _t4_stages_fwd(x, Q, t4["fwd_tw"])
+    out = _t4_stageB_xla(y, jnp.asarray(t4["vf_planes"]), Q)
+    return out.astype(I32).reshape(*lead, N)
+
+
+def _ntt4_inv_xla(tables: "NTTTables", a):
+    t4 = get_ntt4_tables(tables)
+    Q = tables.Q
+    lead, N = a.shape[:-1], a.shape[-1]
+    x = a.reshape(-1, N).astype(jnp.uint32)
+    y = _t4_stageB_xla(x, jnp.asarray(t4["vi_planes"]), Q).astype(
+        jnp.uint32)
+    out = _t4_stages_inv(y, Q, t4["inv_tw"])
+    return out.astype(I32).reshape(*lead, N)
+
+
+def _ntt4_fwd_digits_xla(tables: "NTTTables", d_signed, base: int):
+    t4 = get_ntt4_tables(tables)
+    Q = tables.Q
+    mxu = get_mxu_tables(tables)
+    half = base // 2
+    lead, N = d_signed.shape[:-1], d_signed.shape[-1]
+    x = (d_signed + half).astype(jnp.uint32).reshape(-1, N)
+    y = _t4_stages_fwd(x, Q, t4["fwd_tw"])
+    shift_img = jnp.asarray(
+        (-half * np.asarray(mxu.ones_fwd, np.int64)) % Q, I32)[None, :]
+    out = _t4_stageB_xla(y, jnp.asarray(t4["vf_planes"]), Q,
+                         extra_row=shift_img)
+    return out.astype(I32).reshape(*lead, N)
+
+
+def _use_ntt4_xla(N: int) -> bool:
+    return _NTT4_XLA and ntt4_supported(N)
+
+
 # ------------------------------------------------- one-hot monomial table
 
 _PM_HILO_CACHE: dict = {}
@@ -713,6 +995,8 @@ def ntt_fwd_digits(tables: NTTTables, d_signed, base: int):
     Q = tables.Q
     half = base // 2
     if _DEFAULT_IMPL == "mxu_s8":
+        if _use_ntt4_xla(tables.N):
+            return _ntt4_fwd_digits_xla(tables, d_signed, base)
         return _digits_fwd_s8(tables, d_signed, base)
     if _DEFAULT_IMPL != "mxu":
         lifted = jnp.where(d_signed < 0, d_signed + Q, d_signed).astype(I32)

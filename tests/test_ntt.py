@@ -93,3 +93,28 @@ def test_transpose_is_x_inverse():
     for j in range(1, N):
         want[N - j] = (t.Q - a[j]) % t.Q
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("N", [256, 512, 1024, 2048])
+def test_ntt4_xla_bit_exact(N):
+    """XLA-level 4-step factorized transforms (ops.ntt.get_ntt4_tables)
+    vs the butterfly reference: fwd / inv / signed-digit fwd, all
+    bit-exact. The table builder also self-verifies the factorization
+    against the dense matrices at construction."""
+    t = params(N)
+    a = jnp.asarray(RNG.integers(0, t.Q, (3, N)), jnp.int32)
+    d = jnp.asarray(RNG.integers(-256, 256, (3, N)), jnp.int32)
+    ntt.set_default_impl("butterfly")
+    ref_f = np.asarray(ntt.ntt_fwd(t, a))
+    ref_i = np.asarray(ntt.ntt_inv(t, a))
+    ref_d = np.asarray(ntt.ntt_fwd_digits(t, d, 512))
+    ntt.set_default_impl("mxu_s8")     # routes through the 4-step path
+    try:
+        assert ntt._use_ntt4_xla(N)
+        np.testing.assert_array_equal(np.asarray(ntt.ntt_fwd(t, a)), ref_f)
+        np.testing.assert_array_equal(np.asarray(ntt.ntt_inv(t, a)), ref_i)
+        np.testing.assert_array_equal(
+            np.asarray(ntt.ntt_fwd_digits(t, d, 512)), ref_d)
+    finally:
+        ntt.set_default_impl("butterfly")
