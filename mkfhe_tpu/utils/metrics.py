@@ -175,22 +175,32 @@ def mxu_gate_macs(params) -> dict:
     qbits = (Q - 1).bit_length()
     nq = -(-qbits // 7)            # limbs of a full-width [0, Q) input
     nd = -(-max(1, (base_g - 1).bit_length()) // 7)  # digit-input limbs
+    # 4-step factorized transforms (ops.ntt.get_ntt4_tables): per row a
+    # transform contracts K=128 per limb pass instead of K=N, and the
+    # digit forward's stage-B input is full-width (nq limbs, not nd)
+    from ..ops import fused as _fused
+    from ..ops.ntt import ntt4_supported
+    use4 = ntt4_supported(N) and (
+        _fused._XZW_4STEP if k is not None else _fused._CGGI_4STEP)
+    K = 128 if use4 else N
+    nd_eff = nq if use4 else nd
     # in-kernel hi/lo monomial build (fused._mono_from_tables): per sign
     # per ct, 4 planes vs the [2N/64, N] hi table + (4 value + 5 Shoup)
     # planes vs the [64, N] lo table
     mono_ct = nq * ((2 * N) // 64) * N + (nq + 5) * 64 * N
     if k is None:
         # CGGI: per step INTT 2 rows @ nq*nq passes, digit fwd 2*dG rows
-        # @ nd*nq passes
-        kernel = steps * (2 * nq * nq + 2 * dG * nd * nq) * N * N
+        # @ nd_eff*nq passes
+        kernel = steps * (2 * nq * nq + 2 * dG * nd_eff * nq) * N * K
         monomial = steps * 2 * mono_ct
     else:
         # XZW: per step INTT (k+1) rows @ nq*nq, digit fwd dG*(k+1) rows
-        # @ nd*nq passes (HbProd both decompositions)
-        kernel = steps * ((k + 1) * nq * nq + dG * (k + 1) * nd * nq) * N * N
+        # @ nd_eff*nq passes (HbProd both decompositions)
+        kernel = steps * ((k + 1) * nq * nq
+                          + dG * (k + 1) * nd_eff * nq) * N * K
         monomial = steps * (1 if binary else 2) * mono_ct
     return {"mxu_macs": kernel + monomial, "steps": steps,
-            "limbs_q": nq, "limbs_digit": nd}
+            "limbs_q": nq, "limbs_digit": nd, "ntt4": use4}
 
 
 def mxu_roofline(params, sec_per_gate: float,

@@ -32,7 +32,7 @@ def main():
     cc.GenerateBinFHEContext(BINFHE_PARAMSET.STD128Q_4, BINFHE_METHOD.GINX)
     sk = cc.KeyGen()
     cc.BTKeyGen(sk)
-    for batch in (16, 64, 256):
+    for batch in (64, 256, 1024):
         m1 = np.resize(np.array([0, 0, 1, 1]), batch)
         m2 = np.resize(np.array([0, 1, 0, 1]), batch)
         cts = [(cc.Encrypt(sk, np.roll(m1, r)), cc.Encrypt(sk, m2))
