@@ -187,3 +187,22 @@ def test_cggi_fused_interleave_variant_bit_equal():
     finally:
         fused.set_cggi_interleave(False)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cggi_fused_ntt4_multistage_g4():
+    """N=512 (G=4) runs TWO cross-tile butterfly stages inside the
+    4-step kernel path (the N=256 cases above only exercise one);
+    bit-exact vs the scan reference, fused 4-step on vs off."""
+    from mkfhe_tpu.acc import cggi
+
+    tables, params, key_arr, acc, a = _mk_cggi_case(N=512, n=3, B=2)
+    key = cggi.CGGIKey(key_arr)
+
+    fused.set_mode("off")
+    ref = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+
+    fused.set_mode("on")
+    fused.set_4step(cggi=True)
+    got = np.asarray(cggi.eval_acc(tables, params, key, acc, a))
+
+    np.testing.assert_array_equal(got, ref)
